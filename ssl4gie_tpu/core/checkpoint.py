@@ -1,0 +1,58 @@
+"""Orbax checkpointing with the reference's best-val semantics.
+
+Reference finetune protocol (`train_classification.py:352-366`): a single best-val file
+containing model/optimizer/scaler state, epoch, best val/test metrics, and the three host
+RNG streams for bit-level resume. Our TPU-native equivalent stores params, opt_state,
+batch_stats, step/epoch, best metrics, scheduler state, and a single `jax.random` key
+(replacing the python/np/torch triple-RNG capture).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Best-val single-slot checkpoint (+ optional periodic slots for pretraining)."""
+
+    def __init__(self, directory: str, name: str):
+        self.path = os.path.abspath(os.path.join(directory, name))
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and bool(os.listdir(self.path))
+
+    def save(self, state_tree: Any) -> None:
+        """Overwrite the best-val slot. state_tree must be a pytree of arrays +
+        a metadata dict of plain scalars under 'meta'."""
+        tmp = self.path + ".tmp"
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, state_tree, force=True)
+        self._ckptr.wait_until_finished()
+        if os.path.isdir(self.path):
+            import shutil
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def restore(self, abstract_tree: Optional[Any] = None) -> Any:
+        if abstract_tree is not None:
+            return self._ckptr.restore(self.path, target=abstract_tree)
+        return self._ckptr.restore(self.path)
+
+
+def host_tree(tree):
+    """Pull a sharded pytree fully to host numpy (for saving from process 0)."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def is_primary() -> bool:
+    """Rank-0 gating equivalent (`jax.process_index()==0`)."""
+    return jax.process_index() == 0

@@ -1,0 +1,162 @@
+"""Typed configuration for all tasks.
+
+Replaces the reference's per-script argparse grammar (see reference
+`Classification/train_classification.py:372-411` and README.md:81-119) with one validated
+dataclass hierarchy. The CLI (`ssl4gie_tpu/cli`) maps the exact reference flag names onto
+these fields, so a reference user can reuse their command lines unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class Architecture(str, enum.Enum):
+    RESNET50 = "resnet50"
+    VIT_B = "vit_b"
+
+
+class Pretraining(str, enum.Enum):
+    HYPERKVASIR = "Hyperkvasir"          # SSL on Hyperkvasir-unlabelled (needs --ss-framework + ckpt)
+    IMAGENET_CLASS = "ImageNet_class"    # supervised ImageNet weights
+    IMAGENET_SELF = "ImageNet_self"      # SSL on ImageNet (needs --ss-framework + ckpt)
+    RANDOM = "random"                    # random init
+
+
+class SSLFramework(str, enum.Enum):
+    BARLOWTWINS = "barlowtwins"
+    MOCOV3 = "mocov3"
+    MAE = "mae"
+
+
+class Task(str, enum.Enum):
+    CLASSIFICATION = "classification"
+    SEGMENTATION = "segmentation"
+    DETECTION = "detection"
+    DEPTH = "depth"
+
+
+# Valid (task, architecture, pretraining, framework) combinations, mirroring the implicit
+# if/else validation in each reference build() (e.g. train_segmentation.py:150-155 allows
+# barlowtwins only via RN50; train_depth.py:174-177 is the only dense task allowing it).
+_DENSE_TASKS = {Task.SEGMENTATION, Task.DEPTH}
+
+
+def validate_combination(task: Task, arch: Architecture, pretraining: Pretraining,
+                         framework: Optional[SSLFramework]) -> None:
+    if pretraining in (Pretraining.HYPERKVASIR, Pretraining.IMAGENET_SELF):
+        if framework is None:
+            raise ValueError(
+                f"pretraining={pretraining.value} requires --ss-framework "
+                "(barlowtwins|mocov3|mae)")
+        if framework == SSLFramework.MAE and arch != Architecture.VIT_B:
+            raise ValueError("MAE pretraining is ViT-only")
+        if framework == SSLFramework.BARLOWTWINS:
+            if arch != Architecture.RESNET50:
+                raise ValueError("Barlow Twins pretraining is ResNet50-only")
+            # In the reference, BT ResNet50 is used for classification, segmentation
+            # (via DeepLabV3+), depth and detection; all tasks accept it with RN50.
+    else:
+        if framework is not None:
+            raise ValueError(
+                f"--ss-framework is only valid with Hyperkvasir/ImageNet_self "
+                f"pretraining, got pretraining={pretraining.value}")
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = ""                  # Kvasir | CVC | C3VD | Hyperkvasir-labelled dirs
+    data_root: str = ""
+    batch_size: int = 16               # reference default 16; paper used 48
+    num_workers: int = 8
+    img_size: int = 224                # detection uses 1024 for ViT
+    synthetic: bool = False            # synthetic data for tests/benches (no files needed)
+    synthetic_size: int = 64           # number of synthetic samples
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    learning_rate: float = 1e-4        # reference AdamW default (train_*.py)
+    weight_decay: float = 0.0          # torch AdamW default is 1e-2; reference uses default
+    use_plateau_scheduler: bool = True  # --learning-rate-scheduler (default true in reference)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 10
+    min_lr: float = 1e-6               # --learning-rate-scheduler-minimum
+    accum_steps: int = 1               # detection --accum_iter
+    grad_clip: Optional[float] = None
+    # torch AdamW defaults that the reference inherits:
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    adamw_weight_decay: float = 1e-2   # torch default WD actually applied by reference AdamW
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    seed: int = 42                     # the reference seeds python/numpy/torch with 42
+    mesh_shape: Optional[tuple] = None  # None -> 1-D data mesh over all devices
+    mesh_axes: tuple = ("data",)
+    compute_dtype: str = "bfloat16"    # AMP equivalent: bf16 compute, fp32 params/opt
+    donate_state: bool = True
+    log_every: int = 10
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    task: Task = Task.CLASSIFICATION
+    architecture: Architecture = Architecture.VIT_B
+    pretraining: Pretraining = Pretraining.RANDOM
+    ss_framework: Optional[SSLFramework] = None
+    checkpoint: Optional[str] = None   # external pretrained ckpt to convert+load
+    frozen: bool = False               # freeze encoder, train head/decoder only
+    epochs: int = 50                   # 50 cls/depth, 200 seg/det in reference
+    out_token: str = "cls"             # cls | spatial (ViT non-dense output)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    ckpt_dir: str = "Trained models"   # same layout as the reference
+    log_dir: str = "Trained models"
+
+    def validate(self) -> "TrainConfig":
+        validate_combination(self.task, self.architecture, self.pretraining,
+                             self.ss_framework)
+        if self.task == Task.DETECTION and self.architecture == Architecture.VIT_B:
+            self.data.img_size = 1024
+        return self
+
+    def run_name(self) -> str:
+        """Checkpoint/log base name, matching the reference scheme
+        (`train_classification.py:203-208`):
+        {arch}-{pretraining}[_{ssf}]_init-frozen_{frozen}-dataset_{dataset}
+        """
+        pre = self.pretraining.value
+        if self.ss_framework is not None:
+            pre = f"{pre}_{self.ss_framework.value}"
+        return (f"{self.architecture.value}-{pre}_init-frozen_{self.frozen}"
+                f"-dataset_{self.data.dataset}")
+
+
+@dataclasses.dataclass
+class PretrainConfig:
+    """SSL pretraining config (MoCo v3 / MAE on Hyperkvasir-unlabelled)."""
+    framework: SSLFramework = SSLFramework.MAE
+    architecture: Architecture = Architecture.VIT_B
+    epochs: int = 400
+    warmup_epochs: int = 40
+    base_lr: float = 1.5e-4            # MAE blr; scaled by batch/256
+    weight_decay: float = 0.05
+    batch_size: int = 768
+    img_size: int = 224
+    mask_ratio: float = 0.75           # MAE
+    norm_pix_loss: bool = True         # MAE
+    moco_dim: int = 256
+    moco_mlp_dim: int = 4096
+    moco_momentum: float = 0.99
+    moco_temperature: float = 0.2
+    optimizer: str = "adamw"           # adamw | lars
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    ckpt_dir: str = "Pretrained models"

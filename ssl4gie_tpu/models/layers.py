@@ -1,0 +1,179 @@
+"""Shared transformer building blocks (Flax linen).
+
+Covers the behavior of the reference's timm-ViT blocks (`Models/models.py:262-357`),
+the ViTDet-style windowed attention (`Models/models.py:155-210`), and the 2-D sin-cos
+position embedding used by MoCo v3 / MAE (`Models/moco_v3/vits.py:53-69`,
+`Models/mae/util/pos_embed.py:20-67`). Implementations are TPU-first: attention via a
+single batched einsum (or the Pallas flash kernel for long sequences), windowing via
+reshape rather than the reference's gather-permutation, static shapes throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
+                            cls_token: bool = False) -> np.ndarray:
+    """Fixed 2-D sin-cos position embedding, (grid*grid [+1], embed_dim), float32.
+
+    Behavioral match of MAE `util/pos_embed.py:get_2d_sincos_pos_embed` and MoCo v3's
+    `build_2d_sincos_position_embedding` (both produce the same lattice; MAE orders
+    [h-part, w-part] per token with sin/cos halves per axis).
+    """
+    assert embed_dim % 4 == 0
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.meshgrid(grid_w, grid_h)            # w varies fastest
+    grid = np.stack(grid, axis=0).reshape(2, -1)  # (2, H*W): [w, h]
+
+    def embed_1d(pos, dim):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = embed_1d(grid[1], embed_dim // 2)
+    emb_w = embed_1d(grid[0], embed_dim // 2)
+    pos = np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    if cls_token:
+        pos = np.concatenate([np.zeros((1, embed_dim), np.float32), pos], axis=0)
+    return pos
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, src_grid: int, dst_grid: int,
+                          has_cls: bool = True, method: str = "bilinear") -> jnp.ndarray:
+    """Resize the grid part of a (1, N[+1], D) position embedding.
+
+    The reference interpolates 14x14 -> 64x64 bilinearly with align_corners=True for
+    1024-px detection (`Models/models.py:310-323`) and bicubically on checkpoint load
+    (`Models/mae/util/pos_embed.py:75-96`).
+    """
+    cls = pos_embed[:, :1] if has_cls else None
+    grid = pos_embed[:, 1:] if has_cls else pos_embed
+    d = grid.shape[-1]
+    grid = grid.reshape(1, src_grid, src_grid, d)
+    if method == "bilinear":
+        from ssl4gie_tpu.ops.resize import resize_bilinear_ac
+        grid = resize_bilinear_ac(grid, dst_grid, dst_grid)
+    else:
+        grid = jax.image.resize(grid, (1, dst_grid, dst_grid, d), method=method)
+    grid = grid.reshape(1, dst_grid * dst_grid, d)
+    if cls is not None:
+        return jnp.concatenate([cls, grid], axis=1)
+    return grid
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+def plain_attention(q, k, v, scale: float):
+    """Reference attention math ((q@k^T)*scale -> softmax -> @v,
+    `Models/models.py:202-206`) as one fused XLA computation.
+    q,k,v: (..., H, N, Dh)."""
+    attn = jnp.einsum("...hnd,...hmd->...hnm", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...hnm,...hmd->...hnd", attn, v)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional non-overlapping windowing.
+
+    Windowing (`window_size` tokens per side) replaces the reference's
+    index-permutation `WindowedAttention` (`Models/models.py:155-210`) with a pure
+    reshape: (B, Hg, Wg, C) -> (B*nw, ws*ws, C). Same math, no gathers — XLA keeps
+    everything tiled on the MXU.
+    """
+    dim: int
+    num_heads: int
+    window_size: Optional[int] = None   # in grid units (16 for ViTDet 1024px)
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[Callable] = None  # pluggable kernel (Pallas flash attn)
+
+    @nn.compact
+    def __call__(self, x, grid_hw: Optional[tuple] = None):
+        B, N, C = x.shape
+        H = self.num_heads
+        Dh = C // H
+        scale = Dh ** -0.5
+
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+
+        if self.window_size is not None:
+            gh, gw = grid_hw
+            ws = self.window_size
+            nh, nw = gh // ws, gw // ws
+            # (B, N, 3C) -> (B*nh*nw, ws*ws, 3C)
+            qkv = qkv.reshape(B, nh, ws, nw, ws, 3 * C)
+            qkv = qkv.transpose(0, 1, 3, 2, 4, 5).reshape(B * nh * nw, ws * ws, 3 * C)
+            Bw, Nw = qkv.shape[:2]
+        else:
+            Bw, Nw = B, N
+
+        qkv = qkv.reshape(Bw, Nw, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        fn = self.attn_fn or plain_attention
+        out = fn(q, k, v, scale)                      # (Bw, H, Nw, Dh)
+        out = out.transpose(0, 2, 1, 3).reshape(Bw, Nw, C)
+
+        if self.window_size is not None:
+            gh, gw = grid_hw
+            ws = self.window_size
+            nh, nw = gh // ws, gw // ws
+            out = out.reshape(B, nh, nw, ws, ws, C)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, N, C)
+
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (timm layout: norm1/attn/norm2/mlp)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    window_size: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, grid_hw: Optional[tuple] = None):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, window_size=self.window_size,
+                      dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(h, grid_hw)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                name="mlp")(h)
+        return x + h
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchify (16x16 stride-16): one big MXU matmul after im2col by XLA."""
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3) NHWC
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="proj")(x)
+        B, gh, gw, C = x.shape
+        return x.reshape(B, gh * gw, C), (gh, gw)
