@@ -1,0 +1,249 @@
+"""The shared training engine.
+
+The reference re-implements one ~400-line train/val/ckpt loop per task
+(`train_classification.py`, `train_segmentation.py`, `train_detection.py`,
+`train_depth.py`); here the convention is factored into one engine:
+
+- one jitted `train_step(state, batch, rng) -> (state, metrics)` with optional
+  gradient accumulation via `lax.scan` over microbatches (the reference's detection
+  `--accum_iter`, `train_detection.py:73-81`),
+- SPMD data parallelism: state replicated, batch sharded over the mesh data axis
+  (XLA inserts the gradient psum the reference gets from DDP/NCCL),
+- per-epoch validation + test, ReduceLROnPlateau on the broadcast val metric,
+  best-val checkpointing with full resume (reference protocol §5.4),
+- throughput logging (images/sec, step-time) as first-class metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl4gie_tpu.core import checkpoint as ckpt_lib
+from ssl4gie_tpu.core.logger import MetricsLogger, Throughput
+from ssl4gie_tpu.core.mesh import replicated
+from ssl4gie_tpu.core.schedule import ReduceLROnPlateau
+from ssl4gie_tpu.core.train_state import TrainState, get_lr, set_lr
+from ssl4gie_tpu.data.augment import augment_train_batch, eval_batch
+
+
+@dataclasses.dataclass
+class TaskDefinition:
+    """What a task contributes to the engine (build/loss/metric per SURVEY §2.6)."""
+    name: str
+    aug_mode: str                       # classification | segmentation | depth | none
+    target_key: str                     # label | mask | depth
+    loss_fn: Callable                   # (outputs, targets) -> scalar loss
+    eval_metric_fn: Callable            # see eval_kind
+    eval_kind: str = "batch_metric"     # batch_metric | accumulate_preds
+    select_mode: str = "max"            # plateau/selection direction
+    has_dropout: bool = False
+    train_arg_via_kwarg: bool = True
+
+
+def make_train_step(task: TaskDefinition, accum_steps: int = 1):
+    """Build the jitted SPMD train step."""
+
+    def loss_for_params(params, state, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        rngs = {"dropout": rng} if task.has_dropout else None
+        if mutable:
+            outputs, new_model_state = state.apply_fn(
+                variables, batch["image"], train=True, mutable=mutable, rngs=rngs)
+        else:
+            outputs = state.apply_fn(variables, batch["image"], train=True, rngs=rngs)
+            new_model_state = {}
+        loss = task.loss_fn(outputs, batch[task.target_key])
+        return loss, new_model_state.get("batch_stats", state.batch_stats)
+
+    grad_fn = jax.value_and_grad(loss_for_params, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng):
+        if accum_steps == 1:
+            (loss, new_bs), grads = grad_fn(state.params, state, batch, rng)
+        else:
+            # split the global batch into microbatches and scan, averaging grads —
+            # the reference's detection --accum_iter without host round-trips.
+            b = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]), batch)
+            rngs = jax.random.split(rng, accum_steps)
+
+            def body(carry, xs):
+                grads_acc, loss_acc, bs = carry
+                mb, r = xs
+                st = state.replace(batch_stats=bs)
+                (l, new_bs_), g = grad_fn(state.params, st, mb, r)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + l, new_bs_), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_bs), _ = jax.lax.scan(
+                body, (zero_grads, jnp.zeros(()), state.batch_stats), (b, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            loss = loss_sum / accum_steps
+        new_state = state.apply_gradients(grads, batch_stats=new_bs)
+        return new_state, {"loss": loss}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(task: TaskDefinition):
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs = state.apply_fn(variables, batch["image"], train=False)
+        if task.eval_kind == "accumulate_preds":
+            return jnp.argmax(outputs, axis=-1)
+        return task.eval_metric_fn(outputs, batch[task.target_key])
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    def __init__(self, *, task: TaskDefinition, state: TrainState, mesh,
+                 train_loader, val_loader, test_loader,
+                 logger: MetricsLogger, ckpt: ckpt_lib.CheckpointManager,
+                 epochs: int, accum_steps: int = 1, seed: int = 42,
+                 plateau: Optional[ReduceLROnPlateau] = None,
+                 eval_finalize: Optional[Callable] = None,
+                 log_every: int = 10):
+        self.task = task
+        self.state = state
+        self.mesh = mesh
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.logger = logger
+        self.ckpt = ckpt
+        self.epochs = epochs
+        self.seed = seed
+        self.plateau = plateau
+        self.eval_finalize = eval_finalize   # e.g. meanF1 over accumulated preds
+        self.log_every = log_every
+        self.train_step = make_train_step(task, accum_steps)
+        self.eval_step = make_eval_step(task)
+        self.start_epoch = 1
+        self.best_val: Optional[float] = None
+        self.root_key = jax.random.PRNGKey(seed)
+
+    # -------------------------------------------------------------- epochs
+
+    def _augment(self, key, batch):
+        if self.task.aug_mode == "none":
+            img = eval_batch(batch["image"])
+            return {**batch, "image": img}
+        tgt = batch.get(self.task.target_key) \
+            if self.task.target_key in ("mask", "depth") else None
+        img, tgt = augment_train_batch(key, batch["image"], tgt,
+                                       mode=self.task.aug_mode)
+        out = dict(batch, image=img)
+        if tgt is not None:
+            out[self.task.target_key] = tgt
+        return out
+
+    def train_epoch(self, epoch: int):
+        meter = Throughput()
+        last_loss = None
+        from ssl4gie_tpu.data.loader import prefetch_to_device
+        it = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
+        for step, batch in enumerate(it):
+            key = jax.random.fold_in(jax.random.fold_in(self.root_key, epoch), step)
+            kaug, kstep = jax.random.split(key)
+            batch = self._augment(kaug, batch)
+            self.state, metrics = self.train_step(self.state, batch, kstep)
+            meter.update(batch["image"].shape[0])
+            if (step + 1) % self.log_every == 0 or step + 1 == len(self.train_loader):
+                last_loss = float(metrics["loss"])
+                self.logger.log({"epoch": epoch, "step": step + 1,
+                                 "loss": last_loss,
+                                 "lr": get_lr(self.state.opt_state),
+                                 **meter.rates()})
+        return last_loss
+
+    def evaluate(self, loader, epoch: int, split: str) -> float:
+        if self.task.eval_kind == "accumulate_preds":
+            preds, targets = [], []
+            for batch in loader.epoch(0) if hasattr(loader, "epoch") else loader:
+                img = eval_batch(jnp.asarray(batch["image"]))
+                p = self.eval_step(self.state, {**batch, "image": img})
+                preds.append(np.asarray(p))
+                targets.append(np.asarray(batch[self.task.target_key]))
+            perf = float(self.eval_finalize(np.concatenate(preds),
+                                            np.concatenate(targets)))
+        else:
+            total, n = 0.0, 0
+            for batch in loader.epoch(0) if hasattr(loader, "epoch") else loader:
+                img = eval_batch(jnp.asarray(batch["image"]))
+                m = self.eval_step(self.state, {**batch, "image": img})
+                bs = batch["image"].shape[0]
+                total += float(m) * bs
+                n += bs
+            perf = total / max(n, 1)
+        self.logger.log({"epoch": epoch, f"{split}_perf": perf})
+        return perf
+
+    # -------------------------------------------------------------- ckpt
+
+    def _ckpt_tree(self, epoch, val_perf, test_perf):
+        return {"params": ckpt_lib.host_tree(self.state.params),
+                "opt_state": ckpt_lib.host_tree(self.state.opt_state),
+                "batch_stats": ckpt_lib.host_tree(self.state.batch_stats),
+                "meta": {"epoch": epoch, "val_perf": val_perf,
+                         "test_perf": test_perf,
+                         "plateau_best": -1.0 if self.plateau is None or
+                         self.plateau.best is None else float(self.plateau.best),
+                         "plateau_bad": 0 if self.plateau is None else
+                         self.plateau.num_bad_epochs,
+                         "lr": get_lr(self.state.opt_state)}}
+
+    def maybe_resume(self):
+        if not self.ckpt.exists():
+            return
+        restored = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            batch_stats=restored["batch_stats"])
+        meta = restored["meta"]
+        self.start_epoch = int(meta["epoch"]) + 1
+        self.best_val = float(meta["val_perf"])
+        if self.plateau is not None:
+            pb = float(meta["plateau_best"])
+            self.plateau.best = None if pb < 0 else pb
+            self.plateau.num_bad_epochs = int(meta["plateau_bad"])
+        self.logger.log({"resumed_from_epoch": self.start_epoch - 1,
+                         "best_val": self.best_val})
+
+    # -------------------------------------------------------------- driver
+
+    def fit(self):
+        self.maybe_resume()
+        for epoch in range(self.start_epoch, self.epochs + 1):
+            self.train_epoch(epoch)
+            val_perf = self.evaluate(self.val_loader, epoch, "val")
+            test_perf = self.evaluate(self.test_loader, epoch, "test")
+            if self.plateau is not None:
+                lr = get_lr(self.state.opt_state)
+                new_lr = self.plateau.step(val_perf, lr)
+                if new_lr != lr:
+                    self.state = self.state.replace(
+                        opt_state=set_lr(self.state.opt_state, new_lr))
+                    self.logger.log({"epoch": epoch, "lr_reduced_to": new_lr})
+            better = (self.best_val is None or
+                      (val_perf > self.best_val if self.task.select_mode == "max"
+                       else val_perf < self.best_val))
+            if better:
+                self.best_val = val_perf
+                if ckpt_lib.is_primary():
+                    self.ckpt.save(self._ckpt_tree(epoch, val_perf, test_perf))
+                self.logger.log({"epoch": epoch, "new_best_val": val_perf,
+                                 "test_at_best": test_perf})
+        return self.best_val

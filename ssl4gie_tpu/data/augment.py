@@ -1,0 +1,289 @@
+"""On-device, jit-fused batch augmentation.
+
+TPU-native redesign of the reference's CPU/PIL augmentation stack
+(`Binary_segmentation/Data/dataloaders.py:62-71`, `Data/dataset.py:46-63`): instead of
+8 PIL worker processes per GPU, the host only decodes+resizes; everything else —
+ColorJitter(0.4,0.5,0.25,0.01), GaussianBlur(25x25, sigma U[0.001,2]), ImageNet
+normalize, joint h/v flips, and the full random affine (±180° rotation, ±1/8
+translation, 0.5–1.5 scale, ±22.5° shear, fill -1 image / 0 target) — runs on device
+as one fused XLA program per batch, keyed by `jax.random`.
+
+Convention: images are (B, H, W, C) float32 in [0,1] before normalization; geometric
+ops take image+target jointly so masks stay aligned. Affine sampling is nearest-
+neighbor like torchvision's tensor-path default (`TF.affine` interpolation=NEAREST).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize(img):
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def denormalize(img):
+    return img * IMAGENET_STD + IMAGENET_MEAN
+
+
+# ---------------------------------------------------------------- color jitter
+
+def _blend(a, b, factor):
+    return jnp.clip(b + factor * (a - b), 0.0, 1.0)
+
+
+def _grayscale(img):
+    w = jnp.array([0.299, 0.587, 0.114], img.dtype)   # ITU-R 601-2, as torchvision
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
+def _adjust_brightness(img, f):
+    return jnp.clip(img * f, 0.0, 1.0)
+
+
+def _adjust_contrast(img, f):
+    mean = jnp.mean(_grayscale(img), axis=(1, 2, 3), keepdims=True)
+    return _blend(img, mean, f)
+
+
+def _adjust_saturation(img, f):
+    return _blend(img, _grayscale(img), f)
+
+
+def _rgb_to_hsv(img):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_d = jnp.where(deltac > 0, deltac, 1.0)
+    rc = (maxc - r) / safe_d
+    gc = (maxc - g) / safe_d
+    bc = (maxc - b) / safe_d
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(deltac > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adjust_hue(img, f):
+    # f: (B, 1, 1) broadcasting over the (B, H, W) hue plane
+    h, s, v = _rgb_to_hsv(img)
+    return _hsv_to_rgb((h + f) % 1.0, s, v)
+
+
+def color_jitter(key, img, brightness=0.4, contrast=0.5, saturation=0.25, hue=0.01):
+    """Per-image factors; op order randomized per batch (torchvision randomizes per
+    image — the batch-level order is a deliberate SPMD-friendly relaxation)."""
+    B = img.shape[0]
+    kb, kc, ks, kh, ko = jax.random.split(key, 5)
+    shape = (B, 1, 1, 1)
+    fb = jax.random.uniform(kb, shape, minval=1 - brightness, maxval=1 + brightness)
+    fc = jax.random.uniform(kc, shape, minval=1 - contrast, maxval=1 + contrast)
+    fs = jax.random.uniform(ks, shape, minval=1 - saturation, maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (B, 1, 1), minval=-hue, maxval=hue)
+
+    ops = [lambda x: _adjust_brightness(x, fb),
+           lambda x: _adjust_contrast(x, fc),
+           lambda x: _adjust_saturation(x, fs),
+           lambda x: _adjust_hue(x, fh)]
+    order = jax.random.permutation(ko, 4)
+
+    def apply_op(x, idx):
+        return jax.lax.switch(idx, ops, x), None
+
+    img, _ = jax.lax.scan(apply_op, img, order)
+    return img
+
+
+# ---------------------------------------------------------------- gaussian blur
+
+def gaussian_blur(key, img, kernel_size: int = 25, sigma_range=(0.001, 2.0)):
+    """Separable 25-tap Gaussian with a per-image sigma; reflect padding like
+    torchvision. Implemented as static shifted adds — XLA fuses to VPU code."""
+    B, H, W, C = img.shape
+    k = kernel_size // 2
+    sigma = jax.random.uniform(key, (B, 1), minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    xs = jnp.arange(-k, k + 1, dtype=jnp.float32)[None, :]
+    w = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    w = w / jnp.sum(w, axis=1, keepdims=True)          # (B, K)
+
+    def conv_axis(x, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (k, k)
+        xp = jnp.pad(x, pad, mode="reflect")
+        out = jnp.zeros_like(x)
+        for i in range(kernel_size):
+            sl = jax.lax.slice_in_dim(xp, i, i + x.shape[axis], axis=axis)
+            out = out + sl * w[:, i].reshape(B, 1, 1, 1)
+        return out
+
+    return conv_axis(conv_axis(img, 1), 2)
+
+
+# ---------------------------------------------------------------- geometric
+
+def random_flips(key, img, target=None, hflip=True, vflip=True):
+    """Joint per-image flips (prob 0.5 each, like `Data/dataset.py:46-54`)."""
+    B = img.shape[0]
+    kh, kv = jax.random.split(key)
+    do_h = jax.random.uniform(kh, (B, 1, 1, 1)) > 0.5 if hflip else None
+    do_v = jax.random.uniform(kv, (B, 1, 1, 1)) > 0.5 if vflip else None
+
+    def apply(x):
+        if x is None:
+            return None
+        if hflip:
+            x = jnp.where(do_h, x[:, :, ::-1], x)
+        if vflip:
+            x = jnp.where(do_v, x[:, ::-1], x)
+        return x
+
+    return apply(img), apply(target)
+
+
+def _inverse_affine_matrix(angle_deg, translate, scale, shear_deg):
+    """torchvision `_get_inverse_affine_matrix` with center=(0,0): returns the 2x3
+    matrix mapping centered output coords -> centered input coords. All args (B,)."""
+    rot = jnp.deg2rad(angle_deg)
+    sx = jnp.deg2rad(shear_deg)
+    sy = jnp.zeros_like(sx)
+    tx, ty = translate[:, 0], translate[:, 1]
+
+    a = jnp.cos(rot - sy) / jnp.cos(sy)
+    b = -jnp.cos(rot - sy) * jnp.tan(sx) / jnp.cos(sy) - jnp.sin(rot)
+    c = jnp.sin(rot - sy) / jnp.cos(sy)
+    d = -jnp.sin(rot - sy) * jnp.tan(sx) / jnp.cos(sy) + jnp.cos(rot)
+
+    inv_scale = 1.0 / scale
+    m00, m01 = d * inv_scale, -b * inv_scale
+    m10, m11 = -c * inv_scale, a * inv_scale
+    m02 = m00 * (-tx) + m01 * (-ty)
+    m12 = m10 * (-tx) + m11 * (-ty)
+    return jnp.stack([m00, m01, m02, m10, m11, m12], axis=-1)   # (B, 6)
+
+
+def affine_sample(img, matrix, fill: float, mode: str = "nearest"):
+    """Apply per-image inverse affine matrices to (B, H, W, C). Out-of-bounds -> fill."""
+    B, H, W, C = img.shape
+    ys = jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0
+    xs = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")                # (H, W)
+
+    m = matrix.reshape(B, 2, 3)
+    src_x = (m[:, 0, 0, None, None] * gx + m[:, 0, 1, None, None] * gy
+             + m[:, 0, 2, None, None]) + (W - 1) / 2.0
+    src_y = (m[:, 1, 0, None, None] * gx + m[:, 1, 1, None, None] * gy
+             + m[:, 1, 2, None, None]) + (H - 1) / 2.0
+
+    if mode == "nearest":
+        ix = jnp.round(src_x).astype(jnp.int32)
+        iy = jnp.round(src_y).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        ixc = jnp.clip(ix, 0, W - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        gathered = jax.vmap(lambda im, yy, xx: im[yy, xx])(img, iyc, ixc)
+        return jnp.where(valid[..., None], gathered, fill)
+
+    # bilinear with fill outside
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    wx = src_x - x0
+    wy = src_y - y0
+
+    def tap(dy, dx):
+        ix = x0.astype(jnp.int32) + dx
+        iy = y0.astype(jnp.int32) + dy
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        g = jax.vmap(lambda im, yy, xx: im[yy, xx])(
+            img, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1))
+        return jnp.where(valid[..., None], g, fill)
+
+    top = tap(0, 0) * (1 - wx)[..., None] + tap(0, 1) * wx[..., None]
+    bot = tap(1, 0) * (1 - wx)[..., None] + tap(1, 1) * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+def random_affine(key, img, target=None, *, degrees=180.0, translate_frac=0.125,
+                  scale_range=(0.5, 1.5), shear=22.5, img_fill=-1.0,
+                  target_fill=0.0, mode: str = "nearest"):
+    """Joint random affine matching `Data/dataset.py:55-63` parameter ranges."""
+    B, H, W, _ = img.shape
+    ka, kt, ks, ksh = jax.random.split(key, 4)
+    angle = jax.random.uniform(ka, (B,), minval=-degrees, maxval=degrees)
+    trans = jax.random.uniform(kt, (B, 2), minval=-translate_frac,
+                               maxval=translate_frac) * jnp.array([W, H], jnp.float32)
+    scale = jax.random.uniform(ks, (B,), minval=scale_range[0], maxval=scale_range[1])
+    sh = jax.random.uniform(ksh, (B,), minval=-shear, maxval=shear)
+    m = _inverse_affine_matrix(angle, trans, scale, sh)
+    out_img = affine_sample(img, m, img_fill, mode)
+    out_tgt = affine_sample(target, m, target_fill, mode) if target is not None else None
+    return out_img, out_tgt
+
+
+# ---------------------------------------------------------------- pipelines
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation"):
+    """The fused train-time augmentation program. One jitted call per batch.
+
+    img_u8: (B, H, W, 3) uint8 (host-decoded+resized). target: optional
+    (B, H, W, Ct) float, geometrically locked to the image.
+
+    modes (matching each task's reference transform stack):
+    - classification: jitter+blur -> h/v flips -> rotation ±180° (fill 0, on the
+      unnormalized image, like PIL RandomRotation before ToTensor) -> normalize
+      (`Classification/Data/dataloaders.py:62-74`).
+    - segmentation: jitter+blur -> normalize -> joint flips -> joint full affine
+      (fill -1 img / 0 target, post-normalize like the reference's tensor-space
+      TF.affine) (`Binary_segmentation/Data/dataset.py:46-63`).
+    - depth: jitter+blur -> normalize -> joint flips only
+      (`Depth_estimation/Data/dataset.py:55-63`).
+    """
+    kj, kb, kf, ka = jax.random.split(key, 4)
+    img = img_u8.astype(jnp.float32) / 255.0
+    img = color_jitter(kj, img)
+    img = gaussian_blur(kb, img)
+
+    if mode == "classification":
+        img, _ = random_flips(kf, img)
+        B = img.shape[0]
+        angle = jax.random.uniform(ka, (B,), minval=-180.0, maxval=180.0)
+        m = _inverse_affine_matrix(angle, jnp.zeros((B, 2)), jnp.ones((B,)),
+                                   jnp.zeros((B,)))
+        img = affine_sample(img, m, fill=0.0, mode="nearest")
+        return normalize(img), target
+
+    img = normalize(img)
+    img, target = random_flips(kf, img, target)
+    if mode == "segmentation":
+        img, target = random_affine(ka, img, target)
+    return img, target
+
+
+@jax.jit
+def eval_batch(img_u8):
+    """Eval-time: just scale + normalize (`transform_input4test`)."""
+    return normalize(img_u8.astype(jnp.float32) / 255.0)

@@ -1,0 +1,170 @@
+"""Assemble a Trainer from a TrainConfig: data discovery + split, model, optimizer,
+loss/metric wiring — the engine-level equivalent of each reference build()
+(`train_classification.py:128-248`, `train_segmentation.py:125-223`,
+`train_depth.py:131-251`)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl4gie_tpu.core import checkpoint as ckpt_lib
+from ssl4gie_tpu.core.config import Architecture, Task, TrainConfig
+from ssl4gie_tpu.core.logger import MetricsLogger
+from ssl4gie_tpu.core.mesh import make_mesh, replicated
+from ssl4gie_tpu.core.schedule import ReduceLROnPlateau
+from ssl4gie_tpu.core.train_state import TrainState, make_adamw, make_frozen_tx
+from ssl4gie_tpu.core.trainer import TaskDefinition, Trainer
+from ssl4gie_tpu.data import discovery
+from ssl4gie_tpu.data.loader import (ClassificationSource, DepthSource, Loader,
+                                     SegmentationSource, SyntheticSource)
+from ssl4gie_tpu.data.splits import split_ids
+from ssl4gie_tpu.metrics import classification as cls_metrics
+from ssl4gie_tpu.metrics import depth as depth_metrics
+from ssl4gie_tpu.metrics import segmentation as seg_metrics
+from ssl4gie_tpu.models.factory import build_model
+
+
+def _subset(lst, idx):
+    return [lst[i] for i in idx]
+
+
+def _make_sources(cfg: TrainConfig):
+    """Returns (train_source, val_source, test_source, extras dict)."""
+    d = cfg.data
+    if d.synthetic:
+        task_name = cfg.task.value
+        n = d.synthetic_size
+        mk = lambda seed: SyntheticSource(n, d.img_size, task_name, seed=seed)
+        extras = {"n_class": 6, "class_weights": [1.0] * 6} \
+            if cfg.task == Task.CLASSIFICATION else {}
+        return mk(0), mk(1), mk(2), extras
+
+    if cfg.task == Task.CLASSIFICATION:
+        data = discovery.discover_classification(d.data_root, d.dataset)
+        tr, te, va = split_ids(len(data.input_paths))
+        mk = lambda idx: ClassificationSource(_subset(data.input_paths, idx),
+                                              _subset(data.targets, idx), d.img_size)
+        return mk(tr), mk(va), mk(te), {"n_class": data.n_class,
+                                        "class_weights": data.class_weights}
+
+    if cfg.task == Task.SEGMENTATION:
+        imgs, masks = discovery.discover_segmentation(d.data_root, d.dataset)
+        tr, te, va = split_ids(len(imgs))
+        mk = lambda idx: SegmentationSource(_subset(imgs, idx),
+                                            _subset(masks, idx), d.img_size)
+        return mk(tr), mk(va), mk(te), {}
+
+    if cfg.task == Task.DEPTH:
+        splits = discovery.discover_depth(d.data_root)
+        mk = lambda s: DepthSource(*splits[s], d.img_size)
+        return mk("train"), mk("val"), mk("test"), {}
+
+    raise NotImplementedError(f"build for task {cfg.task} not wired yet")
+
+
+def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition,
+                                                                  Optional[callable]]:
+    if cfg.task == Task.CLASSIFICATION:
+        n_class = extras["n_class"]
+        weights = jnp.asarray(extras["class_weights"], jnp.float32)
+        loss_fn = functools.partial(cls_metrics.weighted_cross_entropy,
+                                    class_weights=weights)
+        finalize = lambda preds, targets: cls_metrics.mean_f1(
+            jnp.asarray(preds), jnp.asarray(targets), n_class)
+        td = TaskDefinition(
+            name="classification", aug_mode="classification", target_key="label",
+            loss_fn=lambda logits, labels: loss_fn(logits, labels),
+            eval_metric_fn=None, eval_kind="accumulate_preds", select_mode="max")
+        return td, finalize
+
+    if cfg.task == Task.SEGMENTATION:
+        td = TaskDefinition(
+            name="segmentation", aug_mode="segmentation", target_key="mask",
+            loss_fn=seg_metrics.soft_dice_loss,
+            eval_metric_fn=seg_metrics.dice_score, select_mode="max",
+            has_dropout=cfg.architecture == Architecture.VIT_B)  # DPT seg head dropout
+        return td, None
+
+    if cfg.task == Task.DEPTH:
+        td = TaskDefinition(
+            name="depth", aug_mode="depth", target_key="depth",
+            loss_fn=functools.partial(depth_metrics.ssi_loss, alpha=0.1),
+            eval_metric_fn=functools.partial(depth_metrics.ssi_loss, alpha=0.0),
+            select_mode="min")
+        return td, None
+
+    raise NotImplementedError(cfg.task)
+
+
+def build_trainer(cfg: TrainConfig) -> Trainer:
+    cfg.validate()
+    mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
+    train_src, val_src, test_src, extras = _make_sources(cfg)
+    td, finalize = make_task_definition(cfg, extras)
+
+    dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+    model = build_model(cfg.task, cfg.architecture,
+                        num_classes=extras.get("n_class", 1),
+                        pretraining=cfg.pretraining, framework=cfg.ss_framework,
+                        out_token=cfg.out_token, img_size=cfg.data.img_size,
+                        dtype=dtype)
+
+    rng = jax.random.PRNGKey(cfg.runtime.seed)
+    sample = jnp.zeros((2, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
+    init_rngs = {"params": rng}
+    if td.has_dropout:
+        init_rngs["dropout"] = jax.random.fold_in(rng, 1)
+    variables = jax.jit(functools.partial(model.init, train=False))(init_rngs, sample)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if cfg.checkpoint:
+        from ssl4gie_tpu.convert import load_pretrained
+        params, loaded_stats = load_pretrained(cfg, params, batch_stats)
+        if loaded_stats:
+            batch_stats = loaded_stats
+    elif cfg.pretraining.value == "ImageNet_class":
+        from ssl4gie_tpu.convert import load_imagenet_supervised
+        params = load_imagenet_supervised(cfg, params)
+
+    tx = make_adamw(cfg.optim.learning_rate, cfg.optim.b1, cfg.optim.b2,
+                    cfg.optim.eps, cfg.optim.adamw_weight_decay,
+                    grad_clip=cfg.optim.grad_clip)
+    if cfg.frozen:
+        # train only heads/decoders (reference freezes the encoder with no_grad,
+        # `Models/models.py:138-140`)
+        def trainable(path):
+            joined = "/".join(path)
+            return not (joined.startswith("backbone") or joined.startswith("encoder"))
+        tx = make_frozen_tx(tx, params, trainable)
+
+    state = TrainState.create(model.apply, params, tx, batch_stats)
+    state = jax.device_put(state, replicated(mesh))
+
+    bs = cfg.data.batch_size
+    train_loader = Loader(train_src, bs, shuffle=True, drop_last=True,
+                          seed=cfg.runtime.seed, num_threads=cfg.data.num_workers)
+    val_loader = Loader(val_src, bs, shuffle=False, drop_last=False,
+                        seed=cfg.runtime.seed, num_threads=cfg.data.num_workers)
+    test_loader = Loader(test_src, bs, shuffle=False, drop_last=False,
+                         seed=cfg.runtime.seed, num_threads=cfg.data.num_workers)
+
+    logger = MetricsLogger(cfg.log_dir, cfg.run_name())
+    ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir, cfg.run_name())
+    plateau = None
+    if cfg.optim.use_plateau_scheduler:
+        plateau = ReduceLROnPlateau(mode=td.select_mode,
+                                    factor=cfg.optim.plateau_factor,
+                                    patience=cfg.optim.plateau_patience,
+                                    min_lr=cfg.optim.min_lr)
+
+    return Trainer(task=td, state=state, mesh=mesh, train_loader=train_loader,
+                   val_loader=val_loader, test_loader=test_loader, logger=logger,
+                   ckpt=ckpt, epochs=cfg.epochs, accum_steps=cfg.optim.accum_steps,
+                   seed=cfg.runtime.seed, plateau=plateau, eval_finalize=finalize,
+                   log_every=cfg.runtime.log_every)

@@ -3,10 +3,16 @@ without TPU hardware (SURVEY §4 plan (d))."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # the harness presets axon (TPU); tests run CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, overriding the env var — force CPU before any backend init.
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
