@@ -1,0 +1,88 @@
+"""Benchmark: ViT-B/16 224px classification finetune throughput (images/sec/chip).
+
+Runs the full jitted SPMD train step (bf16 compute, fp32 params/AdamW, on-device
+fused augmentation included) on the available TPU chip(s) and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}.
+
+Baseline: the build target of 4,000 images/sec/chip for ViT-B 224px finetune on
+TPU v5e (BASELINE.md north star).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 4000.0
+
+
+def main():
+    from ssl4gie_tpu.core.mesh import data_sharding, make_mesh, replicated
+    from ssl4gie_tpu.core.train_state import TrainState, make_adamw
+    from ssl4gie_tpu.core.trainer import TaskDefinition, make_train_step
+    from ssl4gie_tpu.data.augment import augment_train_batch
+    from ssl4gie_tpu.metrics.classification import weighted_cross_entropy
+    from ssl4gie_tpu.models.vit import ViTClassifier
+
+    n_chips = jax.device_count()
+    mesh = make_mesh()
+    batch_per_chip = 64
+    B = batch_per_chip * n_chips
+
+    model = ViTClassifier(num_classes=6, img_size=224, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((B, 224, 224, 3), jnp.float32)
+    variables = jax.jit(model.init)(rng, x0)
+
+    tx = make_adamw(1e-4)
+    state = TrainState.create(model.apply, variables["params"], tx, {})
+    state = jax.device_put(state, replicated(mesh))
+
+    td = TaskDefinition(name="classification", aug_mode="classification",
+                        target_key="label",
+                        loss_fn=lambda lg, lb: weighted_cross_entropy(lg, lb),
+                        eval_metric_fn=None, eval_kind="accumulate_preds")
+    train_step = make_train_step(td, accum_steps=1)
+
+    rng_np = np.random.default_rng(0)
+    img_u8 = jax.device_put(
+        rng_np.integers(0, 256, size=(B, 224, 224, 3), dtype=np.uint8),
+        data_sharding(mesh, 4))
+    labels = jax.device_put(rng_np.integers(0, 6, size=(B,)).astype(np.int32),
+                            data_sharding(mesh, 1))
+
+    @jax.jit
+    def full_step(state, img_u8, labels, key):
+        kaug, kstep = jax.random.split(key)
+        img, _ = augment_train_batch(kaug, img_u8, mode="classification")
+        return train_step(state, {"image": img, "label": labels}, kstep)
+
+    # warmup / compile
+    key = jax.random.PRNGKey(1)
+    state, m = full_step(state, img_u8, labels, key)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key = jax.random.fold_in(key, i)
+        state, m = full_step(state, img_u8, labels, key)
+    # fetch the value (not just block_until_ready): through the remote-execution
+    # relay only a host value fetch reliably waits for the dependency chain.
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = B * n_steps / dt
+    per_chip = imgs_per_sec / n_chips
+    print(json.dumps({
+        "metric": "vit_b_224_finetune_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

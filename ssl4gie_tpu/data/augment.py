@@ -81,9 +81,18 @@ def _hsv_to_rgb(h, s, v):
     q = v * (1.0 - f * s)
     t = v * (1.0 - (1.0 - f) * s)
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    def pick(options):
+        # select chain instead of jnp.choose: choose lowers to per-element
+        # gathers on TPU (~50x slower); where-chains stay on the VPU.
+        out = options[-1]
+        for idx in range(len(options) - 2, -1, -1):
+            out = jnp.where(i == idx, options[idx], out)
+        return out
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
