@@ -69,11 +69,28 @@ def _backbone_key(params: Dict) -> str:
     return None
 
 
+def load_orbax_encoder(path: str, params, subtree: str = "backbone"):
+    """Load one of OUR pretraining checkpoints (ssl/pretrain.py Orbax format:
+    {'params': encoder_params_with_backbone_subtree, 'meta': ...})."""
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    enc = restored["params"]
+    src = enc.get("backbone", enc)
+    return merge_into(params, jax_to_mutable(src), subtree)
+
+
+import os  # noqa: E402
+
+
 def load_pretrained(cfg, params, batch_stats=None):
-    """Load cfg.checkpoint (external SSL ckpt) into the model's backbone/encoder
-    subtree. Returns (params, batch_stats)."""
+    """Load cfg.checkpoint (external torch SSL ckpt, or one of our Orbax pretrain
+    dirs) into the model's backbone/encoder subtree. Returns (params, batch_stats)."""
     from ssl4gie_tpu.core.config import Architecture
     key = _backbone_key(jax_to_mutable(params))
+    if os.path.isdir(cfg.checkpoint):
+        new_params, n = load_orbax_encoder(cfg.checkpoint, params, key)
+        print(f"Loaded {n} tensors from Orbax pretrain ckpt {cfg.checkpoint}")
+        return new_params, batch_stats
     if cfg.architecture == Architecture.VIT_B:
         new_params, n = load_vit_encoder(cfg.checkpoint, params, key)
         print(f"Loaded {n} converted tensors from {cfg.checkpoint}")

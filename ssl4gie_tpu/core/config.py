@@ -157,6 +157,7 @@ class PretrainConfig:
     moco_momentum: float = 0.99
     moco_temperature: float = 0.2
     optimizer: str = "adamw"           # adamw | lars
+    model_kwargs: dict = dataclasses.field(default_factory=dict)  # size overrides (tests)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
     ckpt_dir: str = "Pretrained models"

@@ -1,0 +1,135 @@
+"""MAE (masked autoencoder) pretraining — TPU-native.
+
+Behavioral match of the vendored `Models/mae/models_mae.py` (MaskedAutoencoderViT):
+ViT-B/16 encoder on the 25% kept patches, 512-wide/8-deep decoder with mask-token
+re-insertion and argsort unshuffle, per-patch MSE on masked patches with optional
+per-patch pixel normalization (`forward_loss`, `models_mae.py:198-214`). Fixed 2-D
+sin-cos position embeddings for both encoder and decoder (`:65-72`).
+
+TPU design notes: masking keeps static shapes (len_keep fixed at trace time);
+shuffle/unshuffle are `take_along_axis` gathers like the reference's torch.gather —
+at (B, 196) scale these are cheap. The noise argsort ranks via jax.random.uniform.
+The whole loss is one jitted program; encoder params transfer 1:1 into the
+finetuning ViTBackbone (same module names).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ssl4gie_tpu.models.layers import Block, PatchEmbed, get_2d_sincos_pos_embed
+
+
+def patchify(imgs, p: int = 16):
+    """(B, H, W, 3) NHWC -> (B, L, p*p*3), matching `models_mae.patchify`
+    (token pixel order: p-row, p-col, channel)."""
+    B, H, W, C = imgs.shape
+    h, w = H // p, W // p
+    x = imgs.reshape(B, h, p, w, p, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)          # (B, h, w, p, p, C)
+    return x.reshape(B, h * w, p * p * C)
+
+
+def unpatchify(x, p: int = 16):
+    B, L, D = x.shape
+    h = w = int(L ** 0.5)
+    C = D // (p * p)
+    x = x.reshape(B, h, w, p, p, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, h * p, w * p, C)
+
+
+def random_masking(rng, x, mask_ratio: float):
+    """Per-sample shuffle by argsort of uniform noise (`models_mae.py:123-148`).
+    Returns (x_masked, mask, ids_restore); mask: 0=keep, 1=removed."""
+    B, L, D = x.shape
+    len_keep = int(L * (1 - mask_ratio))
+    noise = jax.random.uniform(rng, (B, L))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+    mask = jnp.ones((B, L), x.dtype).at[:, :len_keep].set(0.0)
+    mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    return x_masked, mask, ids_restore
+
+
+class MAE(nn.Module):
+    """Encoder+decoder; returns (loss, pred, mask)."""
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    decoder_embed_dim: int = 512
+    decoder_depth: int = 8
+    decoder_num_heads: int = 16
+    mlp_ratio: float = 4.0
+    norm_pix_loss: bool = True
+    mask_ratio: float = 0.75
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = True, rng: Optional[jax.Array] = None):
+        if rng is None:
+            rng = self.make_rng("mask")
+        grid = self.img_size // self.patch_size
+        L = grid * grid
+
+        pos_embed = jnp.asarray(get_2d_sincos_pos_embed(
+            self.embed_dim, grid, cls_token=True))[None]          # fixed, not learned
+        dec_pos_embed = jnp.asarray(get_2d_sincos_pos_embed(
+            self.decoder_embed_dim, grid, cls_token=True))[None]
+
+        # ---- encoder (module names match ViTBackbone for 1:1 weight transfer)
+        x, _ = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+                          name="patch_embed")(imgs)
+        x = x + pos_embed[:, 1:].astype(self.dtype)
+        x, mask, ids_restore = random_masking(rng, x, self.mask_ratio)
+
+        cls_token = self.param("cls_token", nn.initializers.normal(0.02),
+                               (1, 1, self.embed_dim))
+        cls = (cls_token + pos_embed[:, :1]).astype(self.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, self.embed_dim)),
+                             x], axis=1)
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                      dtype=self.dtype, name=f"blocks_{i}")(x)
+        latent = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+
+        # ---- decoder (`forward_decoder`, models_mae.py:172-196)
+        y = nn.Dense(self.decoder_embed_dim, dtype=self.dtype,
+                     name="decoder_embed")(latent)
+        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+                                (1, 1, self.decoder_embed_dim))
+        B = y.shape[0]
+        n_masked = L + 1 - y.shape[1]
+        mask_tokens = jnp.broadcast_to(mask_token.astype(self.dtype),
+                                       (B, n_masked, self.decoder_embed_dim))
+        y_ = jnp.concatenate([y[:, 1:], mask_tokens], axis=1)
+        y_ = jnp.take_along_axis(y_, ids_restore[..., None], axis=1)   # unshuffle
+        y = jnp.concatenate([y[:, :1], y_], axis=1)
+        y = y + dec_pos_embed.astype(self.dtype)
+        for i in range(self.decoder_depth):
+            y = Block(self.decoder_embed_dim, self.decoder_num_heads, self.mlp_ratio,
+                      dtype=self.dtype, name=f"decoder_blocks_{i}")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")(y)
+        pred = nn.Dense(self.patch_size ** 2 * 3, dtype=jnp.float32,
+                        name="decoder_pred")(y.astype(jnp.float32))
+        pred = pred[:, 1:]
+
+        # ---- loss (`forward_loss`, models_mae.py:198-214)
+        target = patchify(imgs.astype(jnp.float32), self.patch_size)
+        if self.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            # torch .var() is unbiased (ddof=1) — parity matters at p*p*3=768 dims
+            var = target.var(axis=-1, keepdims=True, ddof=1)
+            target = (target - mean) / (var + 1e-6) ** 0.5
+        loss = ((pred - target) ** 2).mean(axis=-1)
+        mask_f = mask.astype(jnp.float32)
+        loss = (loss * mask_f).sum() / mask_f.sum()
+        return loss, pred, mask

@@ -1,0 +1,215 @@
+"""SSL pretraining driver (MAE / MoCo v3) — the TPU-native counterpart of the
+vendored `main_pretrain.py` / `main_moco.py` CLIs.
+
+Recipe parity:
+- MAE: AdamW betas (0.9, 0.95), weight-decay grouping (no WD on 1-D params), base LR
+  x batch/256 scaling, per-iteration warmup+cosine schedule, norm_pix loss, ckpt
+  every `save_every` epochs (`main_pretrain.py:165-200`, `engine_pretrain.py:42-60`).
+- MoCo v3: AdamW or LARS, cosine LR, cosine EMA momentum per iteration
+  (`main_moco.py:224-230,420-434`).
+
+The encoder lands in an Orbax checkpoint whose 'backbone' subtree matches the
+finetune models' backbone params 1:1 — the converter-free path for our own
+pretraining (external torch ckpts go through ssl4gie_tpu/convert).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ssl4gie_tpu.core import checkpoint as ckpt_lib
+from ssl4gie_tpu.core.config import PretrainConfig, SSLFramework
+from ssl4gie_tpu.core.logger import MetricsLogger, Throughput
+from ssl4gie_tpu.core.mesh import make_mesh, replicated
+from ssl4gie_tpu.core.schedule import cosine_momentum
+from ssl4gie_tpu.data.loader import Loader, Source, prefetch_to_device
+from ssl4gie_tpu.data.ssl_augment import mae_augment, moco_two_crops
+from ssl4gie_tpu.ssl.lars import lars
+from ssl4gie_tpu.ssl.mae import MAE
+from ssl4gie_tpu.ssl.moco_v3 import (MoCoEncoder, MoCoPredictor, MoCoState,
+                                     make_moco_train_step)
+
+
+class UnlabeledSource(Source):
+    """Hyperkvasir-unlabelled: a flat folder tree of jpgs; decoded to a fixed canvas
+    so the on-device crop has headroom."""
+
+    def __init__(self, paths, canvas: int = 256):
+        self.paths, self.canvas = list(paths), canvas
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, i):
+        from ssl4gie_tpu.data.loader import _open_rgb
+        return {"image": _open_rgb(self.paths[i], self.canvas)}
+
+
+class SyntheticUnlabeled(Source):
+    def __init__(self, n: int, canvas: int = 256, seed: int = 0):
+        self.n, self.canvas, self.seed = n, canvas, seed
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i):
+        rng = np.random.default_rng(self.seed * 9973 + i)
+        return {"image": rng.integers(0, 256, (self.canvas, self.canvas, 3),
+                                      dtype=np.uint8)}
+
+
+def wd_mask(params):
+    """MAE-style weight-decay grouping: decay only params with ndim > 1
+    (timm optim_factory.add_weight_decay semantics used at main_pretrain.py:179)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
+def make_schedule(base_lr, warmup_steps, total_steps):
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=base_lr, warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1), end_value=0.0)
+
+
+def discover_unlabeled(root: str):
+    import glob
+    paths = []
+    for ext in ("*.jpg", "*.jpeg", "*.png"):
+        paths += glob.glob(os.path.join(root, "**", ext), recursive=True)
+    return sorted(paths)
+
+
+def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int] = None):
+    mesh = make_mesh()
+    logger = MetricsLogger(cfg.ckpt_dir, f"pretrain_{cfg.framework.value}_"
+                                         f"{cfg.architecture.value}")
+    dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+
+    if cfg.data.synthetic:
+        src = SyntheticUnlabeled(cfg.data.synthetic_size)
+    else:
+        src = UnlabeledSource(discover_unlabeled(cfg.data.data_root))
+    loader = Loader(src, cfg.batch_size, shuffle=True, drop_last=True,
+                    seed=cfg.runtime.seed, num_threads=cfg.data.num_workers)
+    steps_per_epoch = steps_per_epoch_override or len(loader)
+    total_steps = steps_per_epoch * cfg.epochs
+    warmup_steps = steps_per_epoch * cfg.warmup_epochs
+    eff_lr = cfg.base_lr * cfg.batch_size / 256.0
+    schedule = make_schedule(eff_lr, warmup_steps, total_steps)
+    root_key = jax.random.PRNGKey(cfg.runtime.seed)
+
+    ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir,
+                                      f"{cfg.framework.value}_{cfg.architecture.value}")
+
+    if cfg.framework == SSLFramework.MAE:
+        model = MAE(img_size=cfg.img_size, norm_pix_loss=cfg.norm_pix_loss,
+                    mask_ratio=cfg.mask_ratio, dtype=dtype, **cfg.model_kwargs)
+        sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        variables = jax.jit(functools.partial(model.init, train=True))(
+            {"params": root_key, "mask": root_key}, sample)
+        params = variables["params"]
+        tx = optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=cfg.weight_decay,
+                         mask=wd_mask(params))
+        opt_state = tx.init(params)
+        state = {"params": params, "opt_state": opt_state,
+                 "step": jnp.zeros((), jnp.int32)}
+        state = jax.device_put(state, replicated(mesh))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, img_u8, key):
+            kaug, kmask = jax.random.split(key)
+            imgs = mae_augment(kaug, img_u8, out_size=cfg.img_size)
+
+            def loss_fn(p):
+                loss, _, _ = model.apply({"params": p}, imgs, train=True,
+                                         rngs={"mask": kmask})
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            return ({"params": new_params, "opt_state": new_opt,
+                     "step": state["step"] + 1}, {"loss": loss})
+
+        def save(state, epoch):
+            if not ckpt_lib.is_primary():
+                return
+            tree = {"params": ckpt_lib.host_tree(state["params"]),
+                    "meta": {"epoch": epoch}}
+            ckpt.save(tree)
+
+        run_loop(cfg, mesh, loader, train_step, save, logger, root_key,
+                 state=state, two_view=False, steps_per_epoch=steps_per_epoch)
+        return ckpt.path
+
+    # ---- MoCo v3
+    encoder = MoCoEncoder(arch=cfg.architecture.value, dim=cfg.moco_dim,
+                          mlp_dim=cfg.moco_mlp_dim, dtype=dtype)  # backbone size is
+    # fixed (ViT-B / RN50) like the reference; cfg.model_kwargs applies to MAE only
+    predictor = MoCoPredictor(dim=cfg.moco_dim, mlp_dim=cfg.moco_mlp_dim,
+                              dtype=dtype)
+    sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    enc_vars = jax.jit(functools.partial(encoder.init, train=False))(root_key, sample)
+    pred_vars = jax.jit(functools.partial(predictor.init, train=False))(
+        root_key, jnp.zeros((2, cfg.moco_dim), jnp.float32))
+    params = {"encoder": enc_vars["params"], "predictor": pred_vars["params"]}
+    stats = {"encoder": enc_vars.get("batch_stats", {}),
+             "predictor": pred_vars.get("batch_stats", {})}
+    if cfg.optimizer == "lars":
+        tx = lars(schedule, weight_decay=cfg.weight_decay)
+    else:
+        tx = optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=cfg.weight_decay,
+                         mask=wd_mask(params))
+    state = MoCoState(step=jnp.zeros((), jnp.int32), params=params,
+                      momentum_params=jax.tree_util.tree_map(
+                          lambda x: x, params["encoder"]),
+                      batch_stats=stats,
+                      momentum_batch_stats=jax.tree_util.tree_map(
+                          lambda x: x, stats["encoder"]),
+                      opt_state=tx.init(params), tx=tx)
+    state = jax.device_put(state, replicated(mesh))
+    moco_step = make_moco_train_step(encoder, predictor, cfg.moco_temperature)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, img_u8, key):
+        kaug, _ = jax.random.split(key)
+        v1, v2 = moco_two_crops(kaug, img_u8, out_size=cfg.img_size)
+        m = cosine_momentum(state.step, base_m=cfg.moco_momentum,
+                            total_steps=total_steps)
+        return moco_step(state, v1, v2, m)
+
+    def save(state, epoch):
+        if not ckpt_lib.is_primary():
+            return
+        tree = {"params": ckpt_lib.host_tree(state.params["encoder"]),
+                "meta": {"epoch": epoch}}
+        ckpt.save(tree)
+
+    run_loop(cfg, mesh, loader, train_step, save, logger, root_key,
+             state=state, two_view=True, steps_per_epoch=steps_per_epoch)
+    return ckpt.path
+
+
+def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
+             two_view, steps_per_epoch):
+    meter = Throughput()
+    for epoch in range(1, cfg.epochs + 1):
+        it = prefetch_to_device(loader.epoch(epoch), mesh)
+        for step, batch in enumerate(it):
+            if step >= steps_per_epoch:
+                break
+            key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), step)
+            state, metrics = train_step(state, batch["image"], key)
+            meter.update(batch["image"].shape[0])
+            if (step + 1) % cfg.runtime.log_every == 0:
+                logger.log({"epoch": epoch, "step": step + 1,
+                            "loss": float(metrics["loss"]), **meter.rates()})
+        save(state, epoch)
+    return state
