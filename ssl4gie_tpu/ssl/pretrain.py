@@ -167,12 +167,14 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     else:
         tx = optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=cfg.weight_decay,
                          mask=wd_mask(params))
+    # momentum copies must be distinct buffers (donation would otherwise see the
+    # same buffer twice)
     state = MoCoState(step=jnp.zeros((), jnp.int32), params=params,
                       momentum_params=jax.tree_util.tree_map(
-                          lambda x: x, params["encoder"]),
+                          jnp.copy, params["encoder"]),
                       batch_stats=stats,
                       momentum_batch_stats=jax.tree_util.tree_map(
-                          lambda x: x, stats["encoder"]),
+                          jnp.copy, stats["encoder"]),
                       opt_state=tx.init(params), tx=tx)
     state = jax.device_put(state, replicated(mesh))
     moco_step = make_moco_train_step(encoder, predictor, cfg.moco_temperature)
