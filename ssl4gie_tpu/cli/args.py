@@ -1,0 +1,77 @@
+"""CLI argument grammar — same flags as the reference drivers (README.md:81-119,
+`train_classification.py:372-411`), plus --task selecting among the four tasks
+(the reference uses one script per task; we use one engine)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ssl4gie_tpu.core.config import (Architecture, DataConfig, OptimConfig,
+                                     Pretraining, RuntimeConfig, SSLFramework,
+                                     Task, TrainConfig)
+
+
+def add_common(p: argparse.ArgumentParser):
+    p.add_argument("--task", type=str, required=True,
+                   choices=[t.value for t in Task])
+    p.add_argument("--architecture", "--arch", type=str, default="vit_b",
+                   choices=["resnet50", "vit_b"], dest="architecture")
+    p.add_argument("--pretraining", type=str, default="random",
+                   choices=[x.value for x in Pretraining])
+    p.add_argument("--ss-framework", type=str, default=None,
+                   choices=[x.value for x in SSLFramework], dest="ss_framework")
+    p.add_argument("--checkpoint", "--ckpt", type=str, default=None,
+                   dest="checkpoint")
+    p.add_argument("--frozen", action="store_true")
+    p.add_argument("--dataset", type=str, default="")
+    p.add_argument("--data-root", type=str, default="", dest="data_root")
+    p.add_argument("--batch-size", type=int, default=16, dest="batch_size")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic data (tests/benches, no files needed)")
+    p.add_argument("--out-token", type=str, default="cls",
+                   choices=["cls", "spatial"], dest="out_token")
+    p.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"], dest="compute_dtype")
+    p.add_argument("--seed", type=int, default=42)
+
+
+def add_train(p: argparse.ArgumentParser):
+    p.add_argument("--epochs", type=int, default=None,
+                   help="default: 50 cls/depth, 200 seg/det (reference defaults)")
+    p.add_argument("--learning-rate", "--lr", type=float, default=1e-4,
+                   dest="learning_rate")
+    p.add_argument("--learning-rate-scheduler", "--lrs", type=str, default="true",
+                   dest="lrs")
+    p.add_argument("--learning-rate-scheduler-minimum", "--lrs-min", type=float,
+                   default=1e-6, dest="lrs_min")
+    p.add_argument("--accum_iter", "--accum-iter", type=int, default=1,
+                   dest="accum_iter")
+    p.add_argument("--ckpt-dir", type=str, default="Trained models", dest="ckpt_dir")
+
+
+def to_train_config(args) -> TrainConfig:
+    task = Task(args.task)
+    epochs = args.epochs
+    if epochs is None:
+        epochs = 50 if task in (Task.CLASSIFICATION, Task.DEPTH) else 200
+    cfg = TrainConfig(
+        task=task,
+        architecture=Architecture(args.architecture),
+        pretraining=Pretraining(args.pretraining),
+        ss_framework=SSLFramework(args.ss_framework) if args.ss_framework else None,
+        checkpoint=args.checkpoint,
+        frozen=args.frozen,
+        epochs=epochs,
+        out_token=args.out_token,
+        data=DataConfig(dataset=args.dataset, data_root=args.data_root,
+                        batch_size=args.batch_size, synthetic=args.synthetic),
+        optim=OptimConfig(
+            learning_rate=getattr(args, "learning_rate", 1e-4),
+            use_plateau_scheduler=getattr(args, "lrs", "true") == "true",
+            min_lr=getattr(args, "lrs_min", 1e-6),
+            accum_steps=getattr(args, "accum_iter", 1)),
+        runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype),
+        ckpt_dir=getattr(args, "ckpt_dir", "Trained models"),
+        log_dir=getattr(args, "ckpt_dir", "Trained models"),
+    )
+    return cfg.validate()

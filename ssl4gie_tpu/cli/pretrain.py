@@ -1,0 +1,75 @@
+"""SSL pretraining CLI (the vendored main_moco.py / main_pretrain.py equivalents).
+
+  python -m ssl4gie_tpu.cli.pretrain --framework mae --architecture vit_b \
+      --data-root /path/Hyperkvasir-unlabelled --epochs 400 --batch-size 768
+"""
+
+import argparse
+
+from ssl4gie_tpu.core.config import (Architecture, DataConfig, PretrainConfig,
+                                     RuntimeConfig, SSLFramework)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--framework", type=str, required=True,
+                   choices=["mae", "mocov3"])
+    p.add_argument("--architecture", "--arch", type=str, default="vit_b",
+                   choices=["resnet50", "vit_b"], dest="architecture")
+    p.add_argument("--data-root", type=str, default="", dest="data_root")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--warmup-epochs", type=int, default=40, dest="warmup_epochs")
+    p.add_argument("--batch-size", type=int, default=768, dest="batch_size")
+    p.add_argument("--blr", type=float, default=None,
+                   help="base LR (x batch/256); default 1.5e-4 MAE / 1.5e-4 MoCo-AdamW")
+    p.add_argument("--weight-decay", type=float, default=None, dest="weight_decay")
+    p.add_argument("--mask-ratio", type=float, default=0.75, dest="mask_ratio")
+    p.add_argument("--no-norm-pix-loss", action="store_true", dest="no_norm_pix")
+    p.add_argument("--moco-m", type=float, default=0.99, dest="moco_m")
+    p.add_argument("--moco-t", type=float, default=0.2, dest="moco_t")
+    p.add_argument("--optimizer", type=str, default=None,
+                   choices=["adamw", "lars"])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   dest="compute_dtype")
+    p.add_argument("--ckpt-dir", type=str, default="Pretrained models",
+                   dest="ckpt_dir")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    fw = SSLFramework(args.framework)
+    arch = Architecture(args.architecture)
+    # reference defaults: MAE blr 1.5e-4 wd 0.05 (main_pretrain.py); MoCo ViT AdamW
+    # lr 1.5e-4 wd 0.1, MoCo RN50 LARS lr 0.3 wd 1.5e-6 (main_moco.py:81-104)
+    if fw == SSLFramework.MAE:
+        blr = args.blr or 1.5e-4
+        wd = args.weight_decay if args.weight_decay is not None else 0.05
+        opt = "adamw"
+    elif arch == Architecture.VIT_B:
+        blr = args.blr or 1.5e-4
+        wd = args.weight_decay if args.weight_decay is not None else 0.1
+        opt = args.optimizer or "adamw"
+    else:
+        blr = args.blr or 0.3
+        wd = args.weight_decay if args.weight_decay is not None else 1.5e-6
+        opt = args.optimizer or "lars"
+
+    cfg = PretrainConfig(
+        framework=fw, architecture=arch, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, base_lr=blr, weight_decay=wd,
+        batch_size=args.batch_size, mask_ratio=args.mask_ratio,
+        norm_pix_loss=not args.no_norm_pix, moco_momentum=args.moco_m,
+        moco_temperature=args.moco_t, optimizer=opt,
+        data=DataConfig(data_root=args.data_root, synthetic=args.synthetic),
+        runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype),
+        ckpt_dir=args.ckpt_dir)
+
+    from ssl4gie_tpu.core.mesh import maybe_init_distributed
+    maybe_init_distributed()
+    from ssl4gie_tpu.ssl.pretrain import run_pretraining
+    path = run_pretraining(cfg)
+    print(f"pretrained encoder checkpoint: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""FPNs for the detection backbones.
+
+- ViTDetFPN: the reference's simple feature pyramid (`Models/models.py:213-259`):
+  four parallel branches off the final stride-16 ViT map -> strides 32/16/8/4 via
+  maxpool / identity / 1 deconv / 2 deconv(+LN+GELU), each projected 768->256 with
+  LayerNorm (channel-wise here; the reference uses full-(C,H,W) LayerNorm on fixed
+  1024px shapes — channelwise LN is the shape-agnostic ViTDet original) and a 3x3
+  conv, plus a stride-64 max-pool level. Output order matches the reference dict:
+  ["0"=stride4, "1"=8, "2"=16, "3"=32, "pool"=64].
+- ResNetFPN: torchvision-style top-down FPN over the RN50 stage maps with an extra
+  max-pool level (`fasterrcnn_resnet50_fpn(trainable_backbone_layers=5)` backbone).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ssl4gie_tpu.models.resnet import ResNet50
+
+
+class _Branch(nn.Module):
+    out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="proj")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x)
+
+
+class ViTDetFPN(nn.Module):
+    out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        """x: (B, H16, W16, 768) final ViT map. Returns [s4, s8, s16, s32, s64]."""
+        # stride 32: maxpool 2x
+        p32 = nn.max_pool(x, (2, 2), strides=(2, 2))
+        p32 = _Branch(self.out_channels, self.dtype, name="fpn1")(p32)
+        # stride 16: identity
+        p16 = _Branch(self.out_channels, self.dtype, name="fpn2")(x)
+        # stride 8: one 2x deconv
+        u8 = nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2),
+                              dtype=self.dtype, name="fpn3_deconv")(x)
+        p8 = _Branch(self.out_channels, self.dtype, name="fpn3")(u8)
+        # stride 4: two 2x deconvs with LN+GELU between
+        u4 = nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2),
+                              dtype=self.dtype, name="fpn4_deconv1")(x)
+        u4 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="fpn4_ln")(u4)
+        u4 = nn.gelu(u4, approximate=False)
+        u4 = nn.ConvTranspose(u4.shape[-1], (2, 2), strides=(2, 2),
+                              dtype=self.dtype, name="fpn4_deconv2")(u4)
+        p4 = _Branch(self.out_channels, self.dtype, name="fpn4")(u4)
+        # pool level (stride 64): stride-2 1x1 maxpool of p32 (`models.py:258`)
+        p64 = nn.max_pool(p32, (1, 1), strides=(2, 2))
+        return [p4, p8, p16, p32, p64]
+
+
+class ResNetFPN(nn.Module):
+    """RN50 + torchvision FPN: lateral 1x1 + top-down sum + 3x3 output convs,
+    extra stride-64 max-pool level."""
+    out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        taps = ResNet50(mode="dense", dtype=self.dtype, name="body")(x, train)
+        laterals = [nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name=f"lateral{i}")(t) for i, t in enumerate(taps)]
+        # top-down: start at stride 32
+        outs = [None] * 4
+        prev = laterals[3]
+        outs[3] = prev
+        for i in (2, 1, 0):
+            up = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)  # nearest 2x
+            prev = laterals[i] + up
+            outs[i] = prev
+        outs = [nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"output{i}")(o) for i, o in enumerate(outs)]
+        pool = nn.max_pool(outs[3], (1, 1), strides=(2, 2))
+        return outs + [pool]

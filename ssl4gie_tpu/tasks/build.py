@@ -87,7 +87,7 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
             name="segmentation", aug_mode="segmentation", target_key="mask",
             loss_fn=seg_metrics.soft_dice_loss,
             eval_metric_fn=seg_metrics.dice_score, select_mode="max",
-            has_dropout=cfg.architecture == Architecture.VIT_B)  # DPT seg head dropout
+            has_dropout=True)  # DPT seg head Dropout(0.1) / DeepLabV3+ ASPP Dropout(0.5)
         return td, None
 
     if cfg.task == Task.DEPTH:
@@ -104,6 +104,8 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
 def build_trainer(cfg: TrainConfig) -> Trainer:
     cfg.validate()
     mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
+    from ssl4gie_tpu.core.mesh import local_batch_size
+    local_batch_size(cfg.data.batch_size, mesh)   # divisibility check (clear error)
     train_src, val_src, test_src, extras = _make_sources(cfg)
     td, finalize = make_task_definition(cfg, extras)
 
