@@ -70,7 +70,10 @@ class FasterRCNN(nn.Module):
                                dtype=self.dtype, name="backbone")(x, train)
             feats = ViTDetFPN(dtype=self.dtype, name="fpn")(fmap)
         else:
-            feats = ResNetFPN(dtype=self.dtype, name="backbone")(x, train)
+            # BatchNorm stays frozen even in training — torchvision's
+            # fasterrcnn_resnet50_fpn uses FrozenBatchNorm2d, and the reference's
+            # SyncBN conversion does not touch it (train_detection.py:272)
+            feats = ResNetFPN(dtype=self.dtype, name="backbone")(x, train=False)
         feats = [f.astype(jnp.float32) for f in feats]
 
         objectness, deltas = RPNHead(dtype=self.dtype, name="rpn_head")(feats)

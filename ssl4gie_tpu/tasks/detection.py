@@ -1,0 +1,241 @@
+"""Detection task wiring: data source (Kvasir boxes JSON), box-aware on-device
+augmentation, jitted train step (loss-dict sum like `train_detection.py:72-77`,
+with lax.scan gradient accumulation for --accum_iter), and mAP-selected eval.
+
+Static-shape data contract: every image is center-padded (after optional 2x
+bicubic downscale when larger than the canvas, `Object_detection/Data/
+dataset.py:82-106`) into a fixed square canvas; GT boxes are padded to MAX_GT with
+a validity mask. Both backbones use the fixed canvas (the reference fixes 1024 for
+ViT; RN50 goes through torchvision's dynamic min/max resize — fixed-square is the
+TPU-native equivalent and is recorded as a deliberate deviation).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssl4gie_tpu.data.loader import Source
+
+MAX_GT = 16
+
+
+def parse_kvasir_targets(input_path: str, targets: dict):
+    """`get_Kvasir_target_vals` (`train_detection.py:154-167`)."""
+    objects = targets[os.path.splitext(os.path.basename(input_path))[0]]["bbox"]
+    boxes = np.zeros((len(objects), 4), np.float32)
+    for i, obj in enumerate(objects):
+        boxes[i] = [obj["xmin"], obj["ymin"], obj["xmax"], obj["ymax"]]
+    labels = np.ones((len(objects),), np.int32)
+    return boxes, labels
+
+
+class DetectionSource(Source):
+    def __init__(self, paths: List[str], targets: dict, canvas: int = 1024,
+                 keep_original: bool = False):
+        self.paths, self.targets, self.canvas = list(paths), targets, canvas
+        self.keep_original = keep_original
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, i):
+        from PIL import Image
+        path = self.paths[i]
+        boxes, labels = parse_kvasir_targets(path, self.targets)
+        im = Image.open(path)
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        W, H = im.size
+        orig = np.asarray(im, np.uint8) if self.keep_original else None
+        # halve if larger than the canvas (bicubic, `Data/dataset.py:84-99`)
+        scale = 1.0
+        if H > self.canvas or W > self.canvas:
+            if H % 2:
+                H += 1
+            if W % 2:
+                W += 1
+            im = im.resize((W // 2, H // 2), Image.BICUBIC)
+            W, H = im.size
+            boxes = boxes / 2.0
+            scale = 0.5
+        p1 = int(np.floor((self.canvas - W) / 2))
+        p2 = int(np.floor((self.canvas - H) / 2))
+        canvas = np.zeros((self.canvas, self.canvas, 3), np.uint8)
+        canvas[p2:p2 + H, p1:p1 + W] = np.asarray(im, np.uint8)
+        boxes[:, [0, 2]] += p1
+        boxes[:, [1, 3]] += p2
+
+        n = min(len(boxes), MAX_GT)
+        gt_boxes = np.zeros((MAX_GT, 4), np.float32)
+        gt_labels = np.zeros((MAX_GT,), np.int32)
+        gt_valid = np.zeros((MAX_GT,), bool)
+        gt_boxes[:n] = boxes[:n]
+        gt_labels[:n] = labels[:n]
+        gt_valid[:n] = True
+        out = {"image": canvas, "gt_boxes": gt_boxes, "gt_labels": gt_labels,
+               "gt_valid": gt_valid}
+        if self.keep_original:
+            out["pad"] = np.asarray([p1, p2], np.int32)
+            out["scale"] = np.float32(scale)
+        return out
+
+
+class SyntheticDetectionSource(Source):
+    def __init__(self, n: int, canvas: int = 256, seed: int = 0):
+        self.n, self.canvas, self.seed = n, canvas, seed
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i):
+        rng = np.random.default_rng(self.seed * 7919 + i)
+        img = rng.integers(0, 256, (self.canvas, self.canvas, 3), dtype=np.uint8)
+        n_obj = int(rng.integers(1, 4))
+        gt_boxes = np.zeros((MAX_GT, 4), np.float32)
+        gt_labels = np.zeros((MAX_GT,), np.int32)
+        gt_valid = np.zeros((MAX_GT,), bool)
+        for j in range(n_obj):
+            x0, y0 = rng.uniform(0, self.canvas * 0.6, 2)
+            w, h = rng.uniform(self.canvas * 0.1, self.canvas * 0.35, 2)
+            gt_boxes[j] = [x0, y0, min(x0 + w, self.canvas), min(y0 + h, self.canvas)]
+            gt_labels[j] = 1
+            gt_valid[j] = True
+            # paint the object so there is signal
+            img[int(y0):int(gt_boxes[j, 3]), int(x0):int(gt_boxes[j, 2])] = \
+                rng.integers(180, 256, 3)
+        return {"image": img, "gt_boxes": gt_boxes, "gt_labels": gt_labels,
+                "gt_valid": gt_valid}
+
+
+# ------------------------------------------------------------ augmentation
+
+@functools.partial(jax.jit, static_argnames=())
+def detection_augment(key, img_u8, gt_boxes):
+    """rot90 / hflip / vflip with box bookkeeping (`Data/dataset.py:50-80`) +
+    ColorJitter/blur (no normalize — the model normalizes internally, matching
+    GeneralizedRCNNTransform). Square canvas assumed."""
+    from ssl4gie_tpu.data.augment import color_jitter, gaussian_blur
+    B, S = img_u8.shape[0], img_u8.shape[1]
+    kj, kb, kr, kh, kv = jax.random.split(key, 5)
+    img = img_u8.astype(jnp.float32) / 255.0
+    img = color_jitter(kj, img)
+    img = gaussian_blur(kb, img)
+
+    Sf = jnp.float32(S)
+    x0, y0, x1, y1 = (gt_boxes[..., i] for i in range(4))
+
+    do_r = jax.random.uniform(kr, (B,)) > 0.5
+    # torch.rot90(dims=[1,2]) on CHW = CCW rotation: new[x, W-1-y]... box transform
+    # per the reference: new_x = old_y; new_y = W - old_x (swapped corners)
+    rot_img = jnp.rot90(img, k=1, axes=(1, 2))
+    img = jnp.where(do_r[:, None, None, None], rot_img, img)
+    rx0 = jnp.where(do_r[:, None], y0, x0)
+    rx1 = jnp.where(do_r[:, None], y1, x1)
+    ry0 = jnp.where(do_r[:, None], Sf - x1, y0)
+    ry1 = jnp.where(do_r[:, None], Sf - x0, y1)
+    x0, y0, x1, y1 = rx0, ry0, rx1, ry1
+
+    do_h = jax.random.uniform(kh, (B,)) > 0.5
+    img = jnp.where(do_h[:, None, None, None], img[:, :, ::-1], img)
+    hx0 = jnp.where(do_h[:, None], Sf - x1, x0)
+    hx1 = jnp.where(do_h[:, None], Sf - x0, x1)
+    x0, x1 = hx0, hx1
+
+    do_v = jax.random.uniform(kv, (B,)) > 0.5
+    img = jnp.where(do_v[:, None, None, None], img[:, ::-1], img)
+    vy0 = jnp.where(do_v[:, None], Sf - y1, y0)
+    vy1 = jnp.where(do_v[:, None], Sf - y0, y1)
+    y0, y1 = vy0, vy1
+
+    return img, jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+# ------------------------------------------------------------ train/eval steps
+
+def make_detection_train_step(model, tx, accum_steps: int = 1, batch_stats=None):
+    # batch_stats (RN50 backbone) are FROZEN at their loaded values, matching
+    # torchvision FrozenBatchNorm2d — they ride along as constants.
+    def loss_fn(params, batch, key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        losses = model.apply(
+            variables, batch["image"], batch["gt_boxes"],
+            batch["gt_labels"], batch["gt_valid"], train=True,
+            rngs={"sampler": key})
+        total = sum(losses.values())
+        return total, losses
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, key):
+        params, opt_state = state
+        if accum_steps == 1:
+            (loss, losses), grads = grad_fn(params, batch, key)
+        else:
+            mb = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]), batch)
+            keys = jax.random.split(key, accum_steps)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                b, k = xs
+                (l, _), g = grad_fn(params, b, k)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + l), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (grads, loss), _ = jax.lax.scan(body, (zero, jnp.zeros(())),
+                                            (mb, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            loss = loss / accum_steps
+            losses = {}
+        import optax
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_opt), {"loss": loss}
+
+    return train_step
+
+
+def make_detection_eval_step(model, batch_stats=None):
+    @jax.jit
+    def eval_step(params, images):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, images, train=False)
+    return eval_step
+
+
+def evaluate_map(model, params, source, batch_size: int = 2,
+                 batch_stats=None) -> Dict[str, float]:
+    """Run detection inference over a source and compute COCO mAP."""
+    from ssl4gie_tpu.metrics.detection import MeanAveragePrecision
+    eval_step = make_detection_eval_step(model, batch_stats)
+    metric = MeanAveragePrecision()
+    n = len(source)
+    for start in range(0, n - n % batch_size, batch_size):
+        samples = [source.get(i) for i in range(start, start + batch_size)]
+        imgs = jnp.asarray(np.stack([s["image"] for s in samples])
+                           ).astype(jnp.float32) / 255.0
+        det = eval_step(params, imgs)
+        det = {k: np.asarray(v) for k, v in det.items()}
+        preds, targets = [], []
+        for bi, s in enumerate(samples):
+            ok = det["valid"][bi]
+            preds.append({"boxes": det["boxes"][bi][ok],
+                          "scores": det["scores"][bi][ok],
+                          "labels": det["labels"][bi][ok]})
+            gv = s["gt_valid"]
+            targets.append({"boxes": s["gt_boxes"][gv],
+                            "labels": s["gt_labels"][gv]})
+        metric.update(preds, targets)
+    return metric.compute()

@@ -1,0 +1,168 @@
+"""Detection stack tests: NMS greedy parity with a numpy reference, RoIAlign
+numerics, anchor/matcher semantics, mAP golden values, Faster R-CNN train/eval
+smoke on small canvases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl4gie_tpu.metrics.detection import MeanAveragePrecision
+from ssl4gie_tpu.models.rpn import generate_anchors, match_anchors
+from ssl4gie_tpu.ops.boxes import box_iou, decode_boxes, encode_boxes
+from ssl4gie_tpu.ops.nms import nms_topk
+from ssl4gie_tpu.ops.roi_align import roi_align_single_level
+
+
+def ref_nms(boxes, scores, thr):
+    """Plain greedy NMS in numpy (torchvision semantics)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            w = max(0.0, xx2 - xx1)
+            h = max(0.0, yy2 - yy1)
+            inter = w * h
+            a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / (a1 + a2 - inter) > thr:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_reference_greedy():
+    rng = np.random.default_rng(0)
+    n = 100
+    ctr = rng.uniform(20, 200, (n, 2))
+    wh = rng.uniform(10, 60, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    ref = ref_nms(boxes, scores, 0.5)
+    idx, ok = nms_topk(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 50)
+    ours = [int(i) for i, o in zip(np.asarray(idx), np.asarray(ok)) if o]
+    assert ours == ref[:len(ours)]
+    assert len(ours) == min(len(ref), 50)
+
+
+def test_box_encode_decode_roundtrip():
+    rng = np.random.default_rng(1)
+    anchors = rng.uniform(0, 100, (20, 2))
+    anchors = np.concatenate([anchors, anchors + rng.uniform(5, 50, (20, 2))],
+                             axis=1).astype(np.float32)
+    gt = rng.uniform(0, 100, (20, 2))
+    gt = np.concatenate([gt, gt + rng.uniform(5, 50, (20, 2))], axis=1).astype(
+        np.float32)
+    deltas = encode_boxes(jnp.asarray(gt), jnp.asarray(anchors))
+    back = decode_boxes(deltas, jnp.asarray(anchors))
+    np.testing.assert_allclose(np.asarray(back), gt, rtol=1e-4, atol=1e-3)
+
+
+def test_roi_align_constant_field():
+    """On a constant feature map every aligned bin must equal the constant."""
+    feat = jnp.full((32, 32, 8), 3.5)
+    rois = jnp.asarray([[4.0, 4.0, 20.0, 28.0], [0.0, 0.0, 31.0, 31.0]])
+    out = roi_align_single_level(feat, rois, spatial_scale=1.0)
+    assert out.shape == (2, 7, 7, 8)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-5)
+
+
+def test_roi_align_linear_gradient():
+    """On feat(x, y) = x the bin average must equal the analytic bin center x."""
+    H = W = 16
+    xs = jnp.arange(W, dtype=jnp.float32)
+    feat = jnp.broadcast_to(xs[None, :, None], (H, W, 1))
+    roi = jnp.asarray([[2.0, 2.0, 9.0, 9.0]])
+    out = roi_align_single_level(feat, roi, 1.0, output_size=7, sampling_ratio=2)
+    bin_w = 7.0 / 7
+    expected = 2.0 + (np.arange(7) + 0.5) * bin_w
+    np.testing.assert_allclose(np.asarray(out)[0, 3, :, 0], expected, atol=1e-4)
+
+
+def test_anchor_count_and_matcher():
+    anchors = generate_anchors([(8, 8), (4, 4)], [16, 32])
+    assert anchors.shape == (8 * 8 * 3 + 4 * 4 * 3, 4)
+    gt = jnp.asarray([[10.0, 10.0, 50.0, 50.0]])
+    valid = jnp.asarray([True])
+    matched, labels = match_anchors(jnp.asarray(anchors), gt, valid)
+    assert int(jnp.sum(labels == 1)) >= 1     # low-quality forcing guarantees >= 1
+    # no GT -> all negative
+    _, labels0 = match_anchors(jnp.asarray(anchors), gt, jnp.asarray([False]))
+    assert int(jnp.sum(labels0 == 1)) == 0
+
+
+def test_map_perfect_and_miss():
+    m = MeanAveragePrecision()
+    gt = {"boxes": np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32),
+          "labels": np.array([1, 1])}
+    perfect = {"boxes": gt["boxes"].copy(),
+               "scores": np.array([0.9, 0.8], np.float32),
+               "labels": np.array([1, 1])}
+    m.update([perfect], [gt])
+    r = m.compute()
+    assert r["map"] == pytest.approx(1.0, abs=1e-6)
+
+    m2 = MeanAveragePrecision()
+    miss = {"boxes": np.array([[200, 200, 220, 220]], np.float32),
+            "scores": np.array([0.9], np.float32), "labels": np.array([1])}
+    m2.update([miss], [gt])
+    assert m2.compute()["map"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_map_half_iou_threshold_behavior():
+    m = MeanAveragePrecision()
+    gt = {"boxes": np.array([[0, 0, 100, 100]], np.float32),
+          "labels": np.array([1])}
+    # IoU ~ 0.6 detection: counts at thresholds .5/.55/.6 only
+    pred = {"boxes": np.array([[0, 0, 100, 60]], np.float32),
+            "scores": np.array([0.9], np.float32), "labels": np.array([1])}
+    m.update([pred], [gt])
+    r = m.compute()
+    assert r["map_50"] == pytest.approx(1.0, abs=1e-6)
+    assert r["map_75"] == pytest.approx(0.0, abs=1e-6)
+    assert 0.0 < r["map"] < 0.5
+
+
+@pytest.mark.slow
+def test_faster_rcnn_train_and_eval_smoke():
+    import optax
+    from ssl4gie_tpu.models.faster_rcnn import FasterRCNN
+    from ssl4gie_tpu.tasks.detection import (SyntheticDetectionSource,
+                                             make_detection_train_step)
+
+    model = FasterRCNN(arch="resnet50", image_size=128,
+                       rpn_pre_nms_top_n_train=200, rpn_pre_nms_top_n_test=100,
+                       rpn_post_nms_top_n_train=100, rpn_post_nms_top_n_test=50,
+                       box_batch_size_per_image=64, detections_per_img=10)
+    src = SyntheticDetectionSource(4, canvas=128)
+    samples = [src.get(i) for i in range(2)]
+    batch = {k: jnp.asarray(np.stack([s[k] for s in samples]))
+             for k in samples[0]}
+    batch["image"] = batch["image"].astype(jnp.float32) / 255.0
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "sampler": rng}, batch["image"],
+                           batch["gt_boxes"], batch["gt_labels"],
+                           batch["gt_valid"], train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    tx = optax.adamw(1e-4)
+    train_step = make_detection_train_step(model, tx, batch_stats=batch_stats)
+    state = (params, tx.init(params))
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    det = model.apply({"params": state[0], "batch_stats": batch_stats},
+                      batch["image"], train=False)
+    assert det["boxes"].shape == (2, 10, 4)
+    assert det["scores"].shape == (2, 10)
