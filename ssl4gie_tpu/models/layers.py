@@ -92,6 +92,20 @@ def plain_attention(q, k, v, scale: float):
     return jnp.einsum("...hnm,...hmd->...hnd", attn, v)
 
 
+FLASH_MIN_SEQ = 1024   # below this the (N, N) tile fits and plain XLA wins
+
+
+def default_attention(q, k, v, scale: float):
+    """Dispatch: Pallas flash kernel for long sequences on TPU (detection's 4,096
+    global-attention tokens), plain fused XLA otherwise (197-token dense tasks)."""
+    n = q.shape[-2]
+    if (n >= FLASH_MIN_SEQ and n % 256 == 0 and q.ndim == 4
+            and jax.default_backend() == "tpu"):
+        from ssl4gie_tpu.kernels.flash_attention import flash_attention_heads
+        return flash_attention_heads(q, k, v, scale)
+    return plain_attention(q, k, v, scale)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with optional non-overlapping windowing.
 
@@ -129,7 +143,7 @@ class Attention(nn.Module):
         qkv = qkv.reshape(Bw, Nw, 3, H, Dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        fn = self.attn_fn or plain_attention
+        fn = self.attn_fn or default_attention
         out = fn(q, k, v, scale)                      # (Bw, H, Nw, Dh)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, Nw, C)
 

@@ -101,11 +101,13 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
     raise NotImplementedError(cfg.task)
 
 
-def build_trainer(cfg: TrainConfig) -> Trainer:
+def build_trainer(cfg: TrainConfig):
     cfg.validate()
     mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
     from ssl4gie_tpu.core.mesh import local_batch_size
     local_batch_size(cfg.data.batch_size, mesh)   # divisibility check (clear error)
+    if cfg.task == Task.DETECTION:
+        return _build_detection_trainer(cfg, mesh)
     train_src, val_src, test_src, extras = _make_sources(cfg)
     td, finalize = make_task_definition(cfg, extras)
 
@@ -170,3 +172,73 @@ def build_trainer(cfg: TrainConfig) -> Trainer:
                    ckpt=ckpt, epochs=cfg.epochs, accum_steps=cfg.optim.accum_steps,
                    seed=cfg.runtime.seed, plateau=plateau, eval_finalize=finalize,
                    log_every=cfg.runtime.log_every)
+
+
+def _build_detection_trainer(cfg: TrainConfig, mesh):
+    """Detection build (`train_detection.py:169-300`): Kvasir boxes JSON, split,
+    Faster R-CNN with SSL/imagenet backbone weights, AdamW, mAP-selected ckpt."""
+    import jax as _jax
+    from ssl4gie_tpu.models.factory import pos_embed_type_for
+    from ssl4gie_tpu.models.faster_rcnn import build_detector
+    from ssl4gie_tpu.tasks.detection import (DetectionSource, DetectionTrainer,
+                                             SyntheticDetectionSource)
+
+    d = cfg.data
+    canvas = 1024 if cfg.architecture == Architecture.VIT_B else 1024
+    if d.synthetic:
+        canvas = min(d.img_size, 256)
+        mk = lambda seed: SyntheticDetectionSource(d.synthetic_size, canvas, seed)
+        train_src, val_src, test_src = mk(0), mk(1), mk(2)
+    else:
+        paths, targets = discovery.discover_detection(d.data_root, d.dataset)
+        tr, te, va = split_ids(len(paths))
+        mk = lambda idx: DetectionSource([paths[i] for i in idx], targets, canvas)
+        train_src, val_src, test_src = mk(tr), mk(va), mk(te)
+
+    dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+    small = dict(rpn_pre_nms_top_n_train=200, rpn_pre_nms_top_n_test=100,
+                 rpn_post_nms_top_n_train=100, rpn_post_nms_top_n_test=50,
+                 box_batch_size_per_image=64,
+                 detections_per_img=10) if d.synthetic else {}
+    from ssl4gie_tpu.models.faster_rcnn import FasterRCNN
+    arch = "vit_b" if cfg.architecture == Architecture.VIT_B else "resnet50"
+    model = FasterRCNN(arch=arch, num_classes=2, image_size=canvas,
+                       pos_embed_type=pos_embed_type_for(cfg.pretraining,
+                                                         cfg.ss_framework),
+                       dtype=dtype, **small)
+
+    rng = _jax.random.PRNGKey(cfg.runtime.seed)
+    sample = jnp.zeros((1, canvas, canvas, 3), jnp.float32)
+    gtb = jnp.zeros((1, 16, 4), jnp.float32)
+    gtl = jnp.zeros((1, 16), jnp.int32)
+    gtv = jnp.zeros((1, 16), bool)
+    variables = model.init({"params": rng, "sampler": rng}, sample, gtb, gtl, gtv,
+                           train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if cfg.checkpoint:
+        from ssl4gie_tpu.convert import load_pretrained
+        params, loaded = load_pretrained(cfg, params, batch_stats)
+        if loaded:
+            batch_stats = loaded
+    elif cfg.pretraining.value == "ImageNet_class":
+        from ssl4gie_tpu.convert import load_imagenet_supervised
+        params = load_imagenet_supervised(cfg, params)
+
+    tx = make_adamw(cfg.optim.learning_rate, cfg.optim.b1, cfg.optim.b2,
+                    cfg.optim.eps, cfg.optim.adamw_weight_decay,
+                    grad_clip=cfg.optim.grad_clip)
+
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+    from ssl4gie_tpu.core.logger import MetricsLogger
+    from ssl4gie_tpu.core.schedule import ReduceLROnPlateau
+    logger = MetricsLogger(cfg.log_dir, cfg.run_name())
+    ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir, cfg.run_name())
+    plateau = None
+    if cfg.optim.use_plateau_scheduler:
+        plateau = ReduceLROnPlateau(mode="max", factor=cfg.optim.plateau_factor,
+                                    patience=cfg.optim.plateau_patience,
+                                    min_lr=cfg.optim.min_lr)
+    return DetectionTrainer(cfg, mesh, model, params, batch_stats, tx,
+                            train_src, val_src, test_src, logger, ckpt, plateau)

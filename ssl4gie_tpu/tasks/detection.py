@@ -239,3 +239,102 @@ def evaluate_map(model, params, source, batch_size: int = 2,
                             "labels": s["gt_labels"][gv]})
         metric.update(preds, targets)
     return metric.compute()
+
+
+# ------------------------------------------------------------ trainer
+
+class DetectionTrainer:
+    """Detection-specific engine: loss-dict training with optional grad accum,
+    mAP('map') validation/selection each epoch (`train_detection.py:330`),
+    plateau LR on val mAP, best-val checkpoint."""
+
+    def __init__(self, cfg, mesh, model, params, batch_stats, tx,
+                 train_source, val_source, test_source, logger, ckpt,
+                 plateau=None):
+        from ssl4gie_tpu.data.loader import Loader
+        self.cfg = cfg
+        self.mesh = mesh
+        self.model = model
+        self.batch_stats = batch_stats
+        self.tx = tx
+        self.state = (params, tx.init(params))
+        self.train_loader = Loader(train_source, cfg.data.batch_size,
+                                   shuffle=True, drop_last=True,
+                                   seed=cfg.runtime.seed,
+                                   num_threads=cfg.data.num_workers)
+        self.val_source = val_source
+        self.test_source = test_source
+        self.logger = logger
+        self.ckpt = ckpt
+        self.plateau = plateau
+        self.train_step = make_detection_train_step(
+            model, tx, cfg.optim.accum_steps, batch_stats)
+        self.root_key = jax.random.PRNGKey(cfg.runtime.seed)
+        self.best_val = None
+        self.start_epoch = 1
+        self._lr = cfg.optim.learning_rate
+
+    def train_epoch(self, epoch):
+        from ssl4gie_tpu.core.logger import Throughput
+        from ssl4gie_tpu.data.loader import prefetch_to_device
+        meter = Throughput()
+        it = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
+        for step, batch in enumerate(it):
+            key = jax.random.fold_in(jax.random.fold_in(self.root_key, epoch),
+                                     step)
+            kaug, kstep = jax.random.split(key)
+            img, boxes = detection_augment(kaug, batch["image"],
+                                           batch["gt_boxes"])
+            batch = dict(batch, image=img, gt_boxes=boxes)
+            self.state, metrics = self.train_step(self.state, batch, kstep)
+            meter.update(batch["image"].shape[0])
+            if (step + 1) % self.cfg.runtime.log_every == 0:
+                self.logger.log({"epoch": epoch, "step": step + 1,
+                                 "loss": float(metrics["loss"]),
+                                 **meter.rates()})
+
+    def evaluate(self, source, epoch, split):
+        res = evaluate_map(self.model, self.state[0], source,
+                           batch_size=min(2, len(source)),
+                           batch_stats=self.batch_stats)
+        self.logger.log({"epoch": epoch, f"{split}_map": res["map"],
+                         f"{split}_map50": res["map_50"]})
+        return res["map"]
+
+    def _ckpt_tree(self, epoch, val, test):
+        from ssl4gie_tpu.core import checkpoint as ckpt_lib
+        return {"params": ckpt_lib.host_tree(self.state[0]),
+                "opt_state": ckpt_lib.host_tree(self.state[1]),
+                "batch_stats": ckpt_lib.host_tree(self.batch_stats),
+                "meta": {"epoch": epoch, "val_perf": val, "test_perf": test}}
+
+    def maybe_resume(self):
+        if not self.ckpt.exists():
+            return
+        restored = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+        self.state = (restored["params"], restored["opt_state"])
+        self.batch_stats = restored["batch_stats"]
+        self.start_epoch = int(restored["meta"]["epoch"]) + 1
+        self.best_val = float(restored["meta"]["val_perf"])
+
+    def fit(self):
+        from ssl4gie_tpu.core import checkpoint as ckpt_lib
+        self.maybe_resume()
+        for epoch in range(self.start_epoch, self.cfg.epochs + 1):
+            self.train_epoch(epoch)
+            val = self.evaluate(self.val_source, epoch, "val")
+            test = self.evaluate(self.test_source, epoch, "test")
+            if self.plateau is not None:
+                new_lr = self.plateau.step(val, self._lr)
+                if new_lr != self._lr:
+                    self._lr = new_lr
+                    from ssl4gie_tpu.core.train_state import set_lr
+                    self.state = (self.state[0], set_lr(self.state[1], new_lr))
+                    self.logger.log({"epoch": epoch, "lr_reduced_to": new_lr})
+            if self.best_val is None or val > self.best_val:
+                self.best_val = val
+                if ckpt_lib.is_primary():
+                    self.ckpt.save(self._ckpt_tree(epoch, val, test))
+                self.logger.log({"epoch": epoch, "new_best_val_map": val,
+                                 "test_map_at_best": test})
+        return self.best_val

@@ -1,0 +1,62 @@
+"""Flash attention kernel parity (interpret mode on CPU) against the plain XLA
+attention: forward and gradients."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssl4gie_tpu.models.layers import plain_attention
+
+
+def _plain(q, k, v, scale):
+    # (BH, N, D) reference
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bnm,bmd->bnd", p, v)
+
+
+@pytest.fixture()
+def qkv():
+    rng = np.random.default_rng(0)
+    BH, N, D = 2, 512, 64
+    q = rng.normal(0, 1, (BH, N, D)).astype(np.float32)
+    k = rng.normal(0, 1, (BH, N, D)).astype(np.float32)
+    v = rng.normal(0, 1, (BH, N, D)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_flash_forward_matches_plain(qkv, monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+    from ssl4gie_tpu.kernels import flash_attention as fa
+    q, k, v = qkv
+    scale = 64 ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        o = fa.flash_attention(q, k, v, scale)
+    ref = _plain(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_flash_gradients_match_plain(qkv):
+    from jax.experimental.pallas import tpu as pltpu
+    from ssl4gie_tpu.kernels import flash_attention as fa
+    q, k, v = qkv
+    scale = 64 ** -0.5
+
+    def loss_flash(q, k, v):
+        o = fa.flash_attention(q, k, v, scale)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_plain(q, k, v):
+        o = _plain(q, k, v, scale)
+        return jnp.sum(o * jnp.cos(o))
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gp, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3,
+                                   atol=3e-3, err_msg=name)
