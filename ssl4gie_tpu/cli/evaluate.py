@@ -45,11 +45,8 @@ def load_eval_state(cfg):
     ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir, cfg.run_name())
     if not ckpt.exists():
         raise FileNotFoundError(f"no checkpoint at {ckpt.path} — train first")
-    restored = ckpt.restore({"params": ckpt_lib.host_tree(params),
-                             "opt_state": None,
-                             "batch_stats": ckpt_lib.host_tree(batch_stats),
-                             "meta": None})
-    return model, restored["params"], restored["batch_stats"], extras
+    restored = ckpt.restore()    # full tree (params/opt_state/batch_stats/meta)
+    return model, restored["params"], restored.get("batch_stats") or {}, extras
 
 
 def make_test_source(cfg):
