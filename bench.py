@@ -28,7 +28,7 @@ def main():
 
     n_chips = jax.device_count()
     mesh = make_mesh()
-    batch_per_chip = 64
+    batch_per_chip = 128
     B = batch_per_chip * n_chips
 
     model = ViTClassifier(num_classes=6, img_size=224, dtype=jnp.bfloat16)

@@ -30,15 +30,32 @@ def load_eval_state(cfg):
             extras = {"n_class": data.n_class}
 
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
-    model = build_model(cfg.task, cfg.architecture,
-                        num_classes=extras.get("n_class", 1),
-                        pretraining=cfg.pretraining, framework=cfg.ss_framework,
-                        out_token=cfg.out_token, img_size=cfg.data.img_size,
-                        dtype=dtype)
     rng = jax.random.PRNGKey(cfg.runtime.seed)
-    sample = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
-    init_rngs = {"params": rng, "dropout": rng}
-    variables = jax.jit(functools.partial(model.init, train=False))(init_rngs, sample)
+    if cfg.task == Task.DETECTION:
+        from ssl4gie_tpu.models.factory import pos_embed_type_for
+        from ssl4gie_tpu.models.faster_rcnn import FasterRCNN
+        canvas = 1024 if not cfg.data.synthetic else min(cfg.data.img_size, 256)
+        small = dict(rpn_pre_nms_top_n_test=100, rpn_post_nms_top_n_test=50,
+                     detections_per_img=10) if cfg.data.synthetic else {}
+        arch = "vit_b" if cfg.architecture.value == "vit_b" else "resnet50"
+        model = FasterRCNN(arch=arch, image_size=canvas,
+                           pos_embed_type=pos_embed_type_for(cfg.pretraining,
+                                                             cfg.ss_framework),
+                           dtype=dtype, **small)
+        sample = jnp.zeros((1, canvas, canvas, 3), jnp.float32)
+        variables = model.init({"params": rng, "sampler": rng}, sample,
+                               jnp.zeros((1, 16, 4)), jnp.zeros((1, 16), jnp.int32),
+                               jnp.zeros((1, 16), bool), train=True)
+    else:
+        model = build_model(cfg.task, cfg.architecture,
+                            num_classes=extras.get("n_class", 1),
+                            pretraining=cfg.pretraining, framework=cfg.ss_framework,
+                            out_token=cfg.out_token, img_size=cfg.data.img_size,
+                            dtype=dtype)
+        sample = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
+        init_rngs = {"params": rng, "dropout": rng}
+        variables = jax.jit(functools.partial(model.init, train=False))(init_rngs,
+                                                                        sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
@@ -55,6 +72,16 @@ def make_test_source(cfg):
                                          SegmentationSource, SyntheticSource)
     from ssl4gie_tpu.data.splits import split_ids
 
+    if cfg.task == Task.DETECTION:
+        from ssl4gie_tpu.tasks.detection import (DetectionSource,
+                                                 SyntheticDetectionSource)
+        if cfg.data.synthetic:
+            return SyntheticDetectionSource(cfg.data.synthetic_size,
+                                            min(cfg.data.img_size, 256), seed=2)
+        paths, targets = discovery.discover_detection(cfg.data.data_root,
+                                                      cfg.data.dataset)
+        _, te, _ = split_ids(len(paths))
+        return DetectionSource([paths[i] for i in te], targets, 1024)
     if cfg.data.synthetic:
         return SyntheticSource(cfg.data.synthetic_size, cfg.data.img_size,
                                cfg.task.value, seed=2)
@@ -101,6 +128,18 @@ def main():
     elif cfg.task == Task.DEPTH:
         E.evaluate_depth(cfg, model, params, batch_stats, src,
                          args.results_root, args.print_list)
+    elif cfg.task == Task.DETECTION:
+        # reference eval_detection.py prints mAP@[.5:.95]/.5/.75 and appends to the
+        # ledger (`eval_detection.py:38-40`)
+        from ssl4gie_tpu.core.logger import append_eval_results
+        from ssl4gie_tpu.tasks.detection import evaluate_map
+        res = evaluate_map(model, params, src, batch_stats=batch_stats)
+        header = f"Detection results for {cfg.run_name()}"
+        lines = [f"mAP: {res['map']}", f"mAP@50: {res['map_50']}",
+                 f"mAP@75: {res['map_75']}"]
+        for ln in [header] + lines:
+            print(ln)
+        append_eval_results(args.results_root, header, lines)
     else:
         raise NotImplementedError(cfg.task)
 

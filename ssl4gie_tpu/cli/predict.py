@@ -35,6 +35,9 @@ def main():
     elif cfg.task == Task.DEPTH:
         written = P.predict_depth(cfg, model, params, batch_stats, src, out_dir,
                                   indices)
+    elif cfg.task == Task.DETECTION:
+        written = P.predict_detection(cfg, model, params, batch_stats, src,
+                                      out_dir, indices)
     else:
         raise NotImplementedError(f"predict for {cfg.task} "
                                   "(classification has no predict script in the "

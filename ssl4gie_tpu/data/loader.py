@@ -31,7 +31,23 @@ class Source:
         raise NotImplementedError
 
 
+_native_loader = None
+
+
 def _open_rgb(path: str, size: Optional[int], make_square: bool = False):
+    # opt-in C++ decode+resize (native/loader.cpp): SSL4GIE_NATIVE_LOADER=1.
+    # GIL-released libjpeg/libpng decode — the win on multi-core TPU hosts.
+    global _native_loader
+    import os as _os
+    if size is not None and _os.environ.get("SSL4GIE_NATIVE_LOADER") == "1":
+        from ssl4gie_tpu.data import native_loader
+        if native_loader.available():
+            if _native_loader is None:
+                _native_loader = native_loader.NativeBatchLoader()
+            try:
+                return _native_loader.load([path], size, make_square)[0]
+            except IOError:
+                pass   # unsupported format (e.g. 16-bit tiff) -> PIL fallback
     from PIL import Image
     im = Image.open(path)
     if im.mode != "RGB":
