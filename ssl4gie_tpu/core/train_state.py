@@ -93,8 +93,13 @@ def freeze_mask(params, trainable_predicate: Callable[[tuple], bool]):
 
 def make_frozen_tx(tx: optax.GradientTransformation, params,
                    trainable_predicate: Callable[[tuple], bool]):
-    """Wrap tx so that non-trainable params receive zero updates."""
+    """Wrap tx so that non-trainable params receive zero updates.
+
+    The frozen mask must be applied both BEFORE tx (keep frozen grads out of
+    momentum) and AFTER tx (AdamW's decoupled weight decay adds -lr*wd*param to
+    the update regardless of the gradient — zeroing only the gradient would still
+    decay frozen weights)."""
     mask = freeze_mask(params, trainable_predicate)
-    return optax.chain(optax.masked(optax.set_to_zero(),
-                                    jax.tree_util.tree_map(lambda t: not t, mask)),
-                       tx)
+    inv = jax.tree_util.tree_map(lambda t: not t, mask)
+    zero_frozen = lambda: optax.masked(optax.set_to_zero(), inv)
+    return optax.chain(zero_frozen(), tx, zero_frozen())
