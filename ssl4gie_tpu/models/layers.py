@@ -70,16 +70,25 @@ def interpolate_pos_embed(pos_embed: jnp.ndarray, src_grid: int, dst_grid: int,
     return grid
 
 
+# timm ViT initialization: trunc_normal(0.02) Linear kernels, zero biases
+# (`timm _init_vit_weights`); MAE/MoCo override with xavier_uniform
+# (`models_mae.py:86-92`, `moco_v3/vits.py:31-47`) via `kernel_init`.
+TIMM_INIT = nn.initializers.truncated_normal(0.02)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = TIMM_INIT
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=self.kernel_init, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     kernel_init=self.kernel_init, name="fc2")(x)
         return x
 
 
@@ -119,6 +128,7 @@ class Attention(nn.Module):
     window_size: Optional[int] = None   # in grid units (16 for ViTDet 1024px)
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None  # pluggable kernel (Pallas flash attn)
+    kernel_init: Callable = TIMM_INIT
 
     @nn.compact
     def __call__(self, x, grid_hw: Optional[tuple] = None):
@@ -127,7 +137,8 @@ class Attention(nn.Module):
         Dh = C // H
         scale = Dh ** -0.5
 
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, kernel_init=self.kernel_init,
+                       name="qkv")(x)
 
         if self.window_size is not None:
             gh, gw = grid_hw
@@ -154,7 +165,8 @@ class Attention(nn.Module):
             out = out.reshape(B, nh, nw, ws, ws, C)
             out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, N, C)
 
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(C, dtype=self.dtype, kernel_init=self.kernel_init,
+                        name="proj")(out)
 
 
 class Block(nn.Module):
@@ -165,21 +177,25 @@ class Block(nn.Module):
     window_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None
+    kernel_init: Callable = TIMM_INIT
 
     @nn.compact
     def __call__(self, x, grid_hw: Optional[tuple] = None):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, window_size=self.window_size,
-                      dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(h, grid_hw)
+                      dtype=self.dtype, attn_fn=self.attn_fn,
+                      kernel_init=self.kernel_init, name="attn")(h, grid_hw)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-                name="mlp")(h)
+                kernel_init=self.kernel_init, name="mlp")(h)
         return x + h
 
 
 class PatchEmbed(nn.Module):
-    """Conv patchify (16x16 stride-16): one big MXU matmul after im2col by XLA."""
+    """Conv patchify (16x16 stride-16): one big MXU matmul after im2col by XLA.
+    xavier-uniform over the flattened (p*p*3, D) view, like MAE/MoCo
+    (`models_mae.py:74-76`)."""
     patch_size: int = 16
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.float32
@@ -188,6 +204,7 @@ class PatchEmbed(nn.Module):
     def __call__(self, x):  # (B, H, W, 3) NHWC
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
+                    kernel_init=nn.initializers.xavier_uniform(),
                     dtype=self.dtype, name="proj")(x)
         B, gh, gw, C = x.shape
         return x.reshape(B, gh * gw, C), (gh, gw)

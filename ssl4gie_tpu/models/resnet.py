@@ -22,6 +22,9 @@ from ssl4gie_tpu.ops.resize import upsample2x_ac
 BN_MOMENTUM = 0.9   # = 1 - torch momentum 0.1
 BN_EPS = 1e-5
 
+# torchvision ResNet init: kaiming_normal(fan_out, relu) on convs
+CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
 
 class Bottleneck(nn.Module):
     width: int            # bottleneck width; out channels = 4*width
@@ -37,19 +40,21 @@ class Bottleneck(nn.Module):
                                        dtype=self.dtype, name=name)
         identity = x
         y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+                    kernel_init=CONV_INIT, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.width, (3, 3), strides=(self.strides, self.strides),
                     padding=self.dilation, kernel_dilation=(self.dilation,) * 2,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    use_bias=False, dtype=self.dtype, kernel_init=CONV_INIT,
+                    name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(self.width * 4, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+                    kernel_init=CONV_INIT, name="conv3")(y)
         y = bn("bn3")(y)
         if self.downsample:
             identity = nn.Conv(self.width * 4, (1, 1),
                                strides=(self.strides, self.strides), use_bias=False,
-                               dtype=self.dtype, name="downsample_conv")(x)
+                               dtype=self.dtype, kernel_init=CONV_INIT,
+                               name="downsample_conv")(x)
             identity = bn("downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -65,7 +70,7 @@ class ResNet50(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+                    dtype=self.dtype, kernel_init=CONV_INIT, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)

@@ -96,9 +96,10 @@ class MAE(nn.Module):
         cls = (cls_token + pos_embed[:, :1]).astype(self.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, self.embed_dim)),
                              x], axis=1)
+        xavier = nn.initializers.xavier_uniform()   # MAE inits all Linears xavier
         for i in range(self.depth):
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                      dtype=self.dtype, name=f"blocks_{i}")(x)
+                      dtype=self.dtype, kernel_init=xavier, name=f"blocks_{i}")(x)
         latent = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
         # ---- decoder (`forward_decoder`, models_mae.py:172-196)
@@ -116,7 +117,8 @@ class MAE(nn.Module):
         y = y + dec_pos_embed.astype(self.dtype)
         for i in range(self.decoder_depth):
             y = Block(self.decoder_embed_dim, self.decoder_num_heads, self.mlp_ratio,
-                      dtype=self.dtype, name=f"decoder_blocks_{i}")(y)
+                      dtype=self.dtype, kernel_init=xavier,
+                      name=f"decoder_blocks_{i}")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")(y)
         pred = nn.Dense(self.patch_size ** 2 * 3, dtype=jnp.float32,
                         name="decoder_pred")(y.astype(jnp.float32))
