@@ -156,6 +156,7 @@ class PretrainConfig:
     moco_mlp_dim: int = 4096
     moco_momentum: float = 0.99
     moco_temperature: float = 0.2
+    moco_stop_grad_patch_embed: bool = True   # --stop-grad-conv1 (ViT recipe)
     optimizer: str = "adamw"           # adamw | lars
     model_kwargs: dict = dataclasses.field(default_factory=dict)  # size overrides (tests)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)

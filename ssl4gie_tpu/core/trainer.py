@@ -150,19 +150,31 @@ class Trainer:
             out[self.task.target_key] = tgt
         return out
 
-    def train_epoch(self, epoch: int):
+    def train_epoch(self, epoch: int, profile_dir: Optional[str] = None):
         meter = Throughput()
         last_loss = None
         from ssl4gie_tpu.data.loader import prefetch_to_device
         it = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
         for step, batch in enumerate(it):
+            if profile_dir and step == 5:
+                jax.profiler.start_trace(profile_dir)
             key = jax.random.fold_in(jax.random.fold_in(self.root_key, epoch), step)
             kaug, kstep = jax.random.split(key)
             batch = self._augment(kaug, batch)
             self.state, metrics = self.train_step(self.state, batch, kstep)
             meter.update(batch["image"].shape[0])
+            if profile_dir and step == 10:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_dir = None
             if (step + 1) % self.log_every == 0 or step + 1 == len(self.train_loader):
                 last_loss = float(metrics["loss"])
+                if not np.isfinite(last_loss):
+                    # NaN abort, like the vendored MAE engine
+                    # (`engine_pretrain.py:52-54`)
+                    raise FloatingPointError(
+                        f"Loss is {last_loss} at epoch {epoch} step {step+1}, "
+                        "stopping training")
                 self.logger.log({"epoch": epoch, "step": step + 1,
                                  "loss": last_loss,
                                  "lr": get_lr(self.state.opt_state),
@@ -224,10 +236,21 @@ class Trainer:
 
     # -------------------------------------------------------------- driver
 
-    def fit(self):
+    def fit(self, profile_dir: Optional[str] = None):
         self.maybe_resume()
+        try:
+            return self._fit(profile_dir)
+        except KeyboardInterrupt:
+            # clean exit like the reference (`train_classification.py:329-331`);
+            # the best-val checkpoint on disk stays valid for resume
+            self.logger.log({"interrupted_at_epoch": -1},
+                            echo="KeyboardInterrupt — exiting cleanly")
+            return self.best_val
+
+    def _fit(self, profile_dir: Optional[str] = None):
         for epoch in range(self.start_epoch, self.epochs + 1):
-            self.train_epoch(epoch)
+            self.train_epoch(epoch, profile_dir if epoch == self.start_epoch
+                             else None)
             val_perf = self.evaluate(self.val_loader, epoch, "val")
             test_perf = self.evaluate(self.test_loader, epoch, "test")
             if self.plateau is not None:

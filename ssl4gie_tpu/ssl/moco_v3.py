@@ -56,7 +56,14 @@ class MLPHead(nn.Module):
 
 class MoCoEncoder(nn.Module):
     """backbone + projector. Same param naming as the finetune backbones so the
-    pretrained encoder transfers 1:1 (projector dropped, like `convert_to_deit`)."""
+    pretrained encoder transfers 1:1 (projector dropped, like `convert_to_deit`).
+
+    MoCo v3's --stop-grad-conv1 (random frozen patch projection, `vits.py:49-51`)
+    is realized in the pretrain driver as an optimizer mask zeroing the
+    backbone/patch_embed updates (ssl/pretrain.py); the finetune side re-enables
+    those grads like the reference (`Models/models.py:510-511`) simply by training
+    them.
+    """
     arch: str = "vit_b"               # vit_b | resnet50
     dim: int = 256
     mlp_dim: int = 4096

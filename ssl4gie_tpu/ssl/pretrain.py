@@ -167,6 +167,14 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     else:
         tx = optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=cfg.weight_decay,
                          mask=wd_mask(params))
+    if cfg.architecture.value == "vit_b" and cfg.moco_stop_grad_patch_embed:
+        # MoCo v3 --stop-grad-conv1: frozen random patch projection
+        def is_patch_embed(path_tuple):
+            return "patch_embed" in path_tuple
+        frozen = jax.tree_util.tree_map_with_path(
+            lambda path, _: is_patch_embed(tuple(
+                p.key if hasattr(p, "key") else str(p) for p in path)), params)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
     # momentum copies must be distinct buffers (donation would otherwise see the
     # same buffer twice)
     state = MoCoState(step=jnp.zeros((), jnp.int32), params=params,
