@@ -65,10 +65,10 @@ def main():
     jax.block_until_ready(m["loss"])
 
     n_steps = 20
+    keys = jax.random.split(key, n_steps)
     t0 = time.perf_counter()
     for i in range(n_steps):
-        key = jax.random.fold_in(key, i)
-        state, m = full_step(state, img_u8, labels, key)
+        state, m = full_step(state, img_u8, labels, keys[i])
     # fetch the value (not just block_until_ready): through the remote-execution
     # relay only a host value fetch reliably waits for the dependency chain.
     float(m["loss"])

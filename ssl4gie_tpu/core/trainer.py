@@ -155,11 +155,15 @@ class Trainer:
         last_loss = None
         from ssl4gie_tpu.data.loader import prefetch_to_device
         it = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
+        # one split per epoch instead of per-step fold_in: keeps the hot loop free
+        # of host->device round-trips
+        n_steps = max(len(self.train_loader), 1)
+        epoch_keys = jax.random.split(
+            jax.random.fold_in(self.root_key, epoch), 2 * n_steps)
         for step, batch in enumerate(it):
             if profile_dir and step == 5:
                 jax.profiler.start_trace(profile_dir)
-            key = jax.random.fold_in(jax.random.fold_in(self.root_key, epoch), step)
-            kaug, kstep = jax.random.split(key)
+            kaug, kstep = epoch_keys[2 * step], epoch_keys[2 * step + 1]
             batch = self._augment(kaug, batch)
             self.state, metrics = self.train_step(self.state, batch, kstep)
             meter.update(batch["image"].shape[0])

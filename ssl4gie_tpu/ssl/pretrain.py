@@ -212,10 +212,12 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
     meter = Throughput()
     for epoch in range(1, cfg.epochs + 1):
         it = prefetch_to_device(loader.epoch(epoch), mesh)
+        epoch_keys = jax.random.split(jax.random.fold_in(root_key, epoch),
+                                      max(steps_per_epoch, 1))
         for step, batch in enumerate(it):
             if step >= steps_per_epoch:
                 break
-            key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), step)
+            key = epoch_keys[step]
             state, metrics = train_step(state, batch["image"], key)
             meter.update(batch["image"].shape[0])
             if (step + 1) % cfg.runtime.log_every == 0:

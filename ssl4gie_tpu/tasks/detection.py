@@ -279,10 +279,11 @@ class DetectionTrainer:
         from ssl4gie_tpu.data.loader import prefetch_to_device
         meter = Throughput()
         it = prefetch_to_device(self.train_loader.epoch(epoch), self.mesh)
+        n_steps = max(len(self.train_loader), 1)
+        epoch_keys = jax.random.split(
+            jax.random.fold_in(self.root_key, epoch), 2 * n_steps)
         for step, batch in enumerate(it):
-            key = jax.random.fold_in(jax.random.fold_in(self.root_key, epoch),
-                                     step)
-            kaug, kstep = jax.random.split(key)
+            kaug, kstep = epoch_keys[2 * step], epoch_keys[2 * step + 1]
             img, boxes = detection_augment(kaug, batch["image"],
                                            batch["gt_boxes"])
             batch = dict(batch, image=img, gt_boxes=boxes)

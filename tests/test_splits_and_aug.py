@@ -1,0 +1,95 @@
+"""Split determinism/parity (SURVEY §4 plan (f)) and augmentation semantics tests."""
+
+import numpy as np
+import pytest
+
+from ssl4gie_tpu.data.splits import split_ids
+
+
+def test_split_matches_sklearn_exactly():
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.model_selection import train_test_split
+
+    for n in (100, 1000, 1379):   # 1379 spans odd rounding
+        test_size = int(round(0.1 * n))
+        ids = np.linspace(0, n - 1, n).astype("int")
+        tr_ref, te_ref = train_test_split(ids, test_size=test_size, random_state=42)
+        tr_ref, va_ref = train_test_split(tr_ref, test_size=test_size,
+                                          random_state=42)
+        tr, te, va = split_ids(n)
+        np.testing.assert_array_equal(tr, tr_ref)
+        np.testing.assert_array_equal(te, te_ref)
+        np.testing.assert_array_equal(va, va_ref)
+
+
+def test_split_is_partition():
+    tr, te, va = split_ids(500)
+    all_ids = np.concatenate([tr, te, va])
+    assert len(all_ids) == 500
+    assert len(np.unique(all_ids)) == 500
+
+
+def test_affine_identity_and_rot90():
+    """Nearest affine with identity matrix is exact; 90-degree rotation matches
+    numpy rot90 up to the sampling-lattice convention."""
+    import jax.numpy as jnp
+    from ssl4gie_tpu.data.augment import _inverse_affine_matrix, affine_sample
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+
+    m_id = _inverse_affine_matrix(jnp.zeros(2), jnp.zeros((2, 2)), jnp.ones(2),
+                                  jnp.zeros(2))
+    out = affine_sample(jnp.asarray(img), m_id, fill=-1.0, mode="nearest")
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+    # torchvision TF.affine convention (what the reference's joint seg affine
+    # uses, Data/dataset.py:62): positive angle through
+    # _get_inverse_affine_matrix WITHOUT negation = clockwise in array view =
+    # np.rot90(k=-1). (PIL Image.rotate/RandomRotation negate the angle — for the
+    # symmetric ±180° ranges used here the direction is immaterial.)
+    m_rot = _inverse_affine_matrix(jnp.full(2, 90.0), jnp.zeros((2, 2)),
+                                   jnp.ones(2), jnp.zeros(2))
+    out = affine_sample(jnp.asarray(img), m_rot, fill=-1.0, mode="nearest")
+    ref = np.stack([np.rot90(img[i], k=-1, axes=(0, 1)) for i in range(2)])
+    assert np.mean(np.isclose(np.asarray(out), ref, atol=1e-5)) > 0.9
+
+
+def test_flips_are_joint():
+    import jax
+    import jax.numpy as jnp
+    from ssl4gie_tpu.data.augment import random_flips
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (8, 8, 8, 3)).astype(np.float32)
+    tgt = img[..., :1].copy()
+    out_i, out_t = random_flips(jax.random.PRNGKey(3), jnp.asarray(img),
+                                jnp.asarray(tgt))
+    # channel 0 of the image must stay identical to the target after the joint
+    # geometric transform
+    np.testing.assert_allclose(np.asarray(out_i)[..., :1], np.asarray(out_t),
+                               atol=1e-6)
+
+
+def test_gaussian_blur_preserves_mean_and_smooths():
+    import jax
+    import jax.numpy as jnp
+    from ssl4gie_tpu.data.augment import gaussian_blur
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(gaussian_blur(jax.random.PRNGKey(0), jnp.asarray(img),
+                                   sigma_range=(1.5, 1.5)))
+    assert abs(out.mean() - img.mean()) < 0.01           # kernel is normalized
+    assert out.var() < img.var()                          # smoothing reduces var
+
+
+def test_color_jitter_bounds():
+    import jax
+    import jax.numpy as jnp
+    from ssl4gie_tpu.data.augment import color_jitter
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(color_jitter(jax.random.PRNGKey(1), jnp.asarray(img)))
+    assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
