@@ -7,6 +7,7 @@ task model was built (classifier / DPT dense / DeepLabV3+ / detector)."""
 from __future__ import annotations
 
 import copy
+import os
 from typing import Any, Dict
 
 import numpy as np
@@ -69,17 +70,26 @@ def _backbone_key(params: Dict) -> str:
     return None
 
 
-def load_orbax_encoder(path: str, params, subtree: str = "backbone"):
-    """Load one of OUR pretraining checkpoints (ssl/pretrain.py Orbax format:
-    {'params': encoder_params_with_backbone_subtree, 'meta': ...})."""
+def load_orbax_encoder(path: str, params, subtree: str = "backbone",
+                       batch_stats=None):
+    """Load one of OUR pretraining / converter checkpoints (Orbax format:
+    {'params': {'backbone': ...}, ['batch_stats': ...], 'meta': ...}).
+    Returns (params, n) or (params, batch_stats, n) when batch_stats given."""
     import orbax.checkpoint as ocp
     restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
     enc = restored["params"]
     src = enc.get("backbone", enc)
-    return merge_into(params, jax_to_mutable(src), subtree)
+    new_params, n = merge_into(params, jax_to_mutable(src), subtree)
+    if batch_stats is None:
+        return new_params, n
+    stats_src = restored.get("batch_stats") or {}
+    stats_src = stats_src.get("backbone", stats_src) if stats_src else {}
+    if stats_src:
+        batch_stats, n2 = merge_into(batch_stats, jax_to_mutable(stats_src),
+                                     subtree)
+        n += n2
+    return new_params, batch_stats, n
 
-
-import os  # noqa: E402
 
 
 def load_pretrained(cfg, params, batch_stats=None):
@@ -88,9 +98,14 @@ def load_pretrained(cfg, params, batch_stats=None):
     from ssl4gie_tpu.core.config import Architecture
     key = _backbone_key(jax_to_mutable(params))
     if os.path.isdir(cfg.checkpoint):
-        new_params, n = load_orbax_encoder(cfg.checkpoint, params, key)
+        if batch_stats:
+            new_params, new_stats, n = load_orbax_encoder(
+                cfg.checkpoint, params, key, batch_stats)
+        else:
+            new_params, n = load_orbax_encoder(cfg.checkpoint, params, key)
+            new_stats = batch_stats
         print(f"Loaded {n} tensors from Orbax pretrain ckpt {cfg.checkpoint}")
-        return new_params, batch_stats
+        return new_params, new_stats
     if cfg.architecture == Architecture.VIT_B:
         new_params, n = load_vit_encoder(cfg.checkpoint, params, key)
         print(f"Loaded {n} converted tensors from {cfg.checkpoint}")
@@ -121,7 +136,6 @@ def load_imagenet_supervised(cfg, params):
     SSL4GIE_IMAGENET_VIT_NPZ / SSL4GIE_IMAGENET_RN50_PTH env vars to the
     timm-AugReg npz / torchvision resnet50 ckpt the reference downloads
     (`Models/models.py:286-290,70-75`)."""
-    import os
     from ssl4gie_tpu.core.config import Architecture
     if cfg.architecture == Architecture.VIT_B:
         path = os.environ.get("SSL4GIE_IMAGENET_VIT_NPZ")

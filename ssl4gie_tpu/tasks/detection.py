@@ -252,12 +252,13 @@ class DetectionTrainer:
                  train_source, val_source, test_source, logger, ckpt,
                  plateau=None):
         from ssl4gie_tpu.data.loader import Loader
+        from ssl4gie_tpu.core.mesh import replicated
         self.cfg = cfg
         self.mesh = mesh
         self.model = model
-        self.batch_stats = batch_stats
+        self.batch_stats = jax.device_put(batch_stats, replicated(mesh))
         self.tx = tx
-        self.state = (params, tx.init(params))
+        self.state = jax.device_put((params, tx.init(params)), replicated(mesh))
         self.train_loader = Loader(train_source, cfg.data.batch_size,
                                    shuffle=True, drop_last=True,
                                    seed=cfg.runtime.seed,
