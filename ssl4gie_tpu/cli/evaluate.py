@@ -34,7 +34,11 @@ def load_eval_state(cfg):
     if cfg.task == Task.DETECTION:
         from ssl4gie_tpu.models.factory import pos_embed_type_for
         from ssl4gie_tpu.models.faster_rcnn import FasterRCNN
-        canvas = 1024 if not cfg.data.synthetic else min(cfg.data.img_size, 256)
+        if cfg.data.synthetic:
+            canvas = 256 if cfg.architecture.value == "vit_b" \
+                else min(cfg.data.img_size, 256)
+        else:
+            canvas = 1024
         small = dict(rpn_pre_nms_top_n_test=100, rpn_post_nms_top_n_test=50,
                      detections_per_img=10) if cfg.data.synthetic else {}
         arch = "vit_b" if cfg.architecture.value == "vit_b" else "resnet50"
@@ -76,8 +80,9 @@ def make_test_source(cfg):
         from ssl4gie_tpu.tasks.detection import (DetectionSource,
                                                  SyntheticDetectionSource)
         if cfg.data.synthetic:
-            return SyntheticDetectionSource(cfg.data.synthetic_size,
-                                            min(cfg.data.img_size, 256), seed=2)
+            canvas = 256 if cfg.architecture.value == "vit_b" \
+                else min(cfg.data.img_size, 256)
+            return SyntheticDetectionSource(cfg.data.synthetic_size, canvas, seed=2)
         paths, targets = discovery.discover_detection(cfg.data.data_root,
                                                       cfg.data.dataset)
         _, te, _ = split_ids(len(paths))

@@ -184,9 +184,12 @@ def _build_detection_trainer(cfg: TrainConfig, mesh):
                                              SyntheticDetectionSource)
 
     d = cfg.data
-    canvas = 1024 if cfg.architecture == Architecture.VIT_B else 1024
+    canvas = 1024
     if d.synthetic:
-        canvas = min(d.img_size, 256)
+        # ViT det needs the token grid divisible by the 16-unit window -> canvas
+        # must be a multiple of 256
+        canvas = 256 if cfg.architecture == Architecture.VIT_B \
+            else min(d.img_size, 256)
         mk = lambda seed: SyntheticDetectionSource(d.synthetic_size, canvas, seed)
         train_src, val_src, test_src = mk(0), mk(1), mk(2)
     else:
