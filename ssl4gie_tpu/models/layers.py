@@ -140,6 +140,19 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * C, dtype=self.dtype, kernel_init=self.kernel_init,
                        name="qkv")(x)
 
+        if (self.window_size is not None and self.attn_fn is None
+                and jax.default_backend() == "tpu"):
+            # fused Pallas path: windows are carved by BlockSpec from the natural
+            # grid layout — no transpose copies through HBM
+            from ssl4gie_tpu.kernels.window_attention import \
+                windowed_flash_attention
+            gh, gw = grid_hw
+            out = windowed_flash_attention(
+                qkv.reshape(B, gh, gw, 3 * C), H, self.window_size, scale)
+            out = out.reshape(B, N, C)
+            return nn.Dense(C, dtype=self.dtype, kernel_init=self.kernel_init,
+                            name="proj")(out)
+
         if self.window_size is not None:
             gh, gw = grid_hw
             ws = self.window_size
