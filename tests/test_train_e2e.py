@@ -68,3 +68,12 @@ def test_loss_decreases_classification():
             loss = trainer.train_epoch(epoch)
             losses.append(loss)
         assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_depth_e2e_vit():
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tiny_config(Task.DEPTH, Architecture.VIT_B, tmp, epochs=1)
+        trainer = build_trainer(cfg)
+        best = trainer.fit()
+        assert best >= 0.0
