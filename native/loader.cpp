@@ -283,3 +283,183 @@ int s4g_decode_info(const char* path, int* w, int* h) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host augmentation pipeline (classification recipe): color jitter -> gaussian
+// blur -> h/v flips -> rotation (nearest, fill 0) -> ImageNet normalize.
+// Statistical match of data/augment.py's on-device pipeline, for multi-core TPU
+// hosts where augmentation overlaps device compute (SURVEY §2.7). Per-image
+// xorshift RNG seeded by (seed, index) keeps batches reproducible.
+
+namespace {
+
+struct XorShift {
+  unsigned long long s;
+  explicit XorShift(unsigned long long seed) : s(seed ? seed : 0x9E3779B97F4A7C15ull) {}
+  unsigned long long next() {
+    s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+    return s;
+  }
+  float uniform(float lo, float hi) {
+    return lo + (hi - lo) * float(next() >> 11) / float(1ull << 53);
+  }
+};
+
+const float kMean[3] = {0.485f, 0.456f, 0.406f};
+const float kStd[3] = {0.229f, 0.224f, 0.225f};
+
+void augment_one(const unsigned char* src, int S, XorShift& rng, float* dst,
+                 std::vector<float>& tmp_a, std::vector<float>& tmp_b) {
+  const size_t n = size_t(S) * S;
+  tmp_a.resize(n * 3);
+  tmp_b.resize(n * 3);
+  float* img = tmp_a.data();
+  for (size_t i = 0; i < n * 3; i++) img[i] = src[i] / 255.0f;
+
+  // ---- color jitter (brightness 0.4, contrast 0.5, saturation 0.25, hue 0.01)
+  float fb = rng.uniform(0.6f, 1.4f);
+  float fc = rng.uniform(0.5f, 1.5f);
+  float fs = rng.uniform(0.75f, 1.25f);
+  float fh = rng.uniform(-0.01f, 0.01f);
+  // brightness
+  for (size_t i = 0; i < n * 3; i++) {
+    float v = img[i] * fb;
+    img[i] = v < 0 ? 0 : (v > 1 ? 1 : v);
+  }
+  // contrast: blend with mean gray
+  double gsum = 0;
+  for (size_t i = 0; i < n; i++)
+    gsum += 0.299f * img[i*3] + 0.587f * img[i*3+1] + 0.114f * img[i*3+2];
+  float gmean = float(gsum / n);
+  for (size_t i = 0; i < n * 3; i++) {
+    float v = gmean + fc * (img[i] - gmean);
+    img[i] = v < 0 ? 0 : (v > 1 ? 1 : v);
+  }
+  // saturation: blend with per-pixel gray
+  for (size_t i = 0; i < n; i++) {
+    float g = 0.299f * img[i*3] + 0.587f * img[i*3+1] + 0.114f * img[i*3+2];
+    for (int c = 0; c < 3; c++) {
+      float v = g + fs * (img[i*3+c] - g);
+      img[i*3+c] = v < 0 ? 0 : (v > 1 ? 1 : v);
+    }
+  }
+  // hue shift via HSV
+  if (fh != 0.0f) {
+    for (size_t i = 0; i < n; i++) {
+      float r = img[i*3], g = img[i*3+1], b = img[i*3+2];
+      float mx = std::max(r, std::max(g, b)), mn = std::min(r, std::min(g, b));
+      float d = mx - mn, v = mx;
+      float sat = mx > 0 ? d / mx : 0.0f;
+      float h = 0;
+      if (d > 0) {
+        if (mx == r) h = (b == mx ? 0 : (g - b) / d);
+        else if (mx == g) h = 2.0f + (b - r) / d;
+        else h = 4.0f + (r - g) / d;
+        h /= 6.0f;
+        if (h < 0) h += 1.0f;
+      }
+      h += fh;
+      h -= floorf(h);
+      float f6 = h * 6.0f;
+      int ii = int(f6) % 6;
+      float f = f6 - floorf(f6);
+      float p = v * (1 - sat), q = v * (1 - f * sat), t = v * (1 - (1 - f) * sat);
+      float rr, gg, bb;
+      switch (ii) {
+        case 0: rr = v; gg = t; bb = p; break;
+        case 1: rr = q; gg = v; bb = p; break;
+        case 2: rr = p; gg = v; bb = t; break;
+        case 3: rr = p; gg = q; bb = v; break;
+        case 4: rr = t; gg = p; bb = v; break;
+        default: rr = v; gg = p; bb = q; break;
+      }
+      img[i*3] = rr; img[i*3+1] = gg; img[i*3+2] = bb;
+    }
+  }
+
+  // ---- 25-tap separable gaussian blur, sigma U[0.001, 2], reflect padding
+  float sigma = rng.uniform(0.001f, 2.0f);
+  float w[25];
+  double wsum = 0;
+  for (int i = -12; i <= 12; i++) {
+    w[i + 12] = expf(-0.5f * (i / sigma) * (i / sigma));
+    wsum += w[i + 12];
+  }
+  for (int i = 0; i < 25; i++) w[i] = float(w[i] / wsum);
+  float* blur = tmp_b.data();
+  auto reflect = [S](int i) { return i < 0 ? -i : (i >= S ? 2 * S - 2 - i : i); };
+  for (int y = 0; y < S; y++)
+    for (int x = 0; x < S; x++)
+      for (int c = 0; c < 3; c++) {
+        float acc = 0;
+        for (int k = -12; k <= 12; k++)
+          acc += w[k + 12] * img[(size_t(y) * S + reflect(x + k)) * 3 + c];
+        blur[(size_t(y) * S + x) * 3 + c] = acc;
+      }
+  for (int y = 0; y < S; y++)
+    for (int x = 0; x < S; x++)
+      for (int c = 0; c < 3; c++) {
+        float acc = 0;
+        for (int k = -12; k <= 12; k++)
+          acc += w[k + 12] * blur[(size_t(reflect(y + k)) * S + x) * 3 + c];
+        img[(size_t(y) * S + x) * 3 + c] = acc;
+      }
+
+  // ---- flips
+  bool hf = rng.uniform(0, 1) > 0.5f;
+  bool vf = rng.uniform(0, 1) > 0.5f;
+
+  // ---- rotation (nearest, fill 0) + normalize, fused into the output write.
+  // TF.affine convention: positive angle through the inverse matrix without
+  // negation (see tests/test_splits_and_aug.py); symmetric range so direction
+  // is immaterial.
+  float ang = rng.uniform(-180.0f, 180.0f) * 3.14159265358979f / 180.0f;
+  float ca = cosf(ang), sa = sinf(ang);
+  float ctr = (S - 1) / 2.0f;
+  for (int y = 0; y < S; y++) {
+    for (int x = 0; x < S; x++) {
+      float xc = x - ctr, yc = y - ctr;
+      float sx = ca * xc + sa * yc + ctr;
+      float sy = -sa * xc + ca * yc + ctr;
+      int ix = int(lrintf(sx)), iy = int(lrintf(sy));
+      float px[3] = {0, 0, 0};
+      if (ix >= 0 && ix < S && iy >= 0 && iy < S) {
+        int rx = hf ? S - 1 - ix : ix;
+        int ry = vf ? S - 1 - iy : iy;
+        const float* p = img + (size_t(ry) * S + rx) * 3;
+        px[0] = p[0]; px[1] = p[1]; px[2] = p[2];
+      }
+      float* o = dst + (size_t(y) * S + x) * 3;
+      for (int c = 0; c < 3; c++) o[c] = (px[c] - kMean[c]) / kStd[c];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int s4g_augment_classification(void* pool_ptr, const unsigned char* imgs, int n,
+                               int S, unsigned long long seed, float* out) {
+  ThreadPool* pool = static_cast<ThreadPool*>(pool_ptr);
+  std::atomic<int> remaining{n};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+  for (int i = 0; i < n; i++) {
+    pool->submit([=, &remaining, &done_mu, &done_cv] {
+      XorShift rng(seed * 0x9E3779B97F4A7C15ull + i + 1);
+      std::vector<float> ta, tb;
+      augment_one(imgs + size_t(i) * S * S * 3, S, rng,
+                  out + size_t(i) * S * S * 3, ta, tb);
+      if (remaining.fetch_sub(1) == 1) {
+        std::unique_lock<std::mutex> lk(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return 0;
+}
+
+}  // extern "C"

@@ -61,6 +61,10 @@ def _load():
         lib.s4g_load_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.s4g_augment_classification.restype = ctypes.c_int
+        lib.s4g_augment_classification.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float)]
         lib.s4g_decode_info.restype = ctypes.c_int
         lib.s4g_decode_info.argtypes = [ctypes.c_char_p,
                                         ctypes.POINTER(ctypes.c_int),
@@ -101,3 +105,19 @@ class NativeBatchLoader:
         if getattr(self, "_pool", None) and _lib is not None:
             _lib.s4g_pool_destroy(self._pool)
             self._pool = None
+
+
+def augment_classification(loader: "NativeBatchLoader", imgs_u8: np.ndarray,
+                           seed: int) -> np.ndarray:
+    """Full host-side classification augmentation (jitter/blur/flips/rotation/
+    normalize) across the C++ thread pool. imgs_u8: (N, S, S, 3) uint8 ->
+    float32 normalized. Statistical match of data/augment.py's device pipeline;
+    intended for multi-core hosts where this overlaps device compute."""
+    n, S = imgs_u8.shape[0], imgs_u8.shape[1]
+    imgs_u8 = np.ascontiguousarray(imgs_u8)
+    out = np.empty((n, S, S, 3), np.float32)
+    _lib.s4g_augment_classification(
+        loader._pool, imgs_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, S, ctypes.c_uint64(seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

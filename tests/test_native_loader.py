@@ -61,3 +61,27 @@ def test_missing_file_raises():
     loader = native_loader.NativeBatchLoader(num_threads=1)
     with pytest.raises(IOError):
         loader.load(["/nonexistent/zzz.jpg"], out_size=64)
+
+
+def test_host_augmentation_pipeline():
+    from ssl4gie_tpu.data.native_loader import NativeBatchLoader, augment_classification
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+    loader = NativeBatchLoader(num_threads=2)
+    out = augment_classification(loader, imgs, seed=7)
+    assert out.shape == (8, 64, 64, 3) and out.dtype == np.float32
+    # determinism
+    out2 = augment_classification(loader, imgs, seed=7)
+    np.testing.assert_array_equal(out, out2)
+    # different seed differs
+    out3 = augment_classification(loader, imgs, seed=8)
+    assert np.abs(out - out3).max() > 0.1
+    # values live in the normalized range; rotation fill maps to -mean/std
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    lo, hi = (0 - mean) / std, (1 - mean) / std
+    assert out.min() >= lo.min() - 1e-4 and out.max() <= hi.max() + 1e-4
+    # at least one image in 8 rotates enough that a corner is fill-valued
+    fill = (0 - mean) / std
+    corners = out[:, 0, 0, :]
+    assert (np.abs(corners - fill).max(axis=1) < 1e-5).any()
