@@ -141,6 +141,18 @@ class Trainer:
         if self.task.aug_mode == "none":
             img = eval_batch(batch["image"])
             return {**batch, "image": img}
+        import os
+        if (self.task.aug_mode == "classification"
+                and os.environ.get("SSL4GIE_HOST_AUG") == "1"):
+            # C++ host pipeline (multi-core hosts: overlaps device compute)
+            from ssl4gie_tpu.data import native_loader
+            if native_loader.available():
+                if not hasattr(self, "_native_aug_pool"):
+                    self._native_aug_pool = native_loader.NativeBatchLoader()
+                seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+                img = native_loader.augment_classification(
+                    self._native_aug_pool, np.asarray(batch["image"]), seed)
+                return {**batch, "image": img}
         tgt = batch.get(self.task.target_key) \
             if self.task.target_key in ("mask", "depth") else None
         img, tgt = augment_train_batch(key, batch["image"], tgt,
