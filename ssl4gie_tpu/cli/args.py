@@ -23,6 +23,10 @@ def add_common(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint", "--ckpt", type=str, default=None,
                    dest="checkpoint")
     p.add_argument("--frozen", action="store_true")
+    p.add_argument("--probe", action="store_true",
+                   help="linear-probe protocol: freeze-all-but-head with the "
+                        "framework's probe optimizer (SGD for mocov3, LARS + "
+                        "BN-before-head for mae)")
     p.add_argument("--dataset", type=str, default="")
     p.add_argument("--data-root", type=str, default="", dest="data_root")
     p.add_argument("--batch-size", type=int, default=16, dest="batch_size")
@@ -46,6 +50,8 @@ def add_train(p: argparse.ArgumentParser):
                    default=1e-6, dest="lrs_min")
     p.add_argument("--accum_iter", "--accum-iter", type=int, default=1,
                    dest="accum_iter")
+    p.add_argument("--layer-decay", type=float, default=None, dest="layer_decay",
+                   help="BEiT layer-wise LR decay factor (ViT only)")
     p.add_argument("--ckpt-dir", type=str, default="Trained models", dest="ckpt_dir")
 
 
@@ -61,6 +67,7 @@ def to_train_config(args) -> TrainConfig:
         ss_framework=SSLFramework(args.ss_framework) if args.ss_framework else None,
         checkpoint=args.checkpoint,
         frozen=args.frozen,
+        probe=getattr(args, "probe", False),
         epochs=epochs,
         out_token=args.out_token,
         data=DataConfig(dataset=args.dataset, data_root=args.data_root,
@@ -69,7 +76,8 @@ def to_train_config(args) -> TrainConfig:
             learning_rate=getattr(args, "learning_rate", 1e-4),
             use_plateau_scheduler=getattr(args, "lrs", "true") == "true",
             min_lr=getattr(args, "lrs_min", 1e-6),
-            accum_steps=getattr(args, "accum_iter", 1)),
+            accum_steps=getattr(args, "accum_iter", 1),
+            layer_decay=getattr(args, "layer_decay", None)),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype),
         ckpt_dir=getattr(args, "ckpt_dir", "Trained models"),
         log_dir=getattr(args, "ckpt_dir", "Trained models"),

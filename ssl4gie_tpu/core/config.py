@@ -86,6 +86,7 @@ class OptimConfig:
     min_lr: float = 1e-6               # --learning-rate-scheduler-minimum
     accum_steps: int = 1               # detection --accum_iter
     grad_clip: Optional[float] = None
+    layer_decay: Optional[float] = None  # BEiT layer-wise LR decay (mae/util/lr_decay.py)
     # torch AdamW defaults that the reference inherits:
     b1: float = 0.9
     b2: float = 0.999
@@ -112,6 +113,7 @@ class TrainConfig:
     ss_framework: Optional[SSLFramework] = None
     checkpoint: Optional[str] = None   # external pretrained ckpt to convert+load
     frozen: bool = False               # freeze encoder, train head/decoder only
+    probe: bool = False                # linear-probe recipe (main_lincls/main_linprobe)
     epochs: int = 50                   # 50 cls/depth, 200 seg/det in reference
     out_token: str = "cls"             # cls | spatial (ViT non-dense output)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
@@ -125,6 +127,14 @@ class TrainConfig:
                              self.ss_framework)
         if self.task == Task.DETECTION and self.architecture == Architecture.VIT_B:
             self.data.img_size = 1024
+        if self.probe:
+            if self.task != Task.CLASSIFICATION:
+                raise ValueError("--probe is a linear-classification protocol "
+                                 "(main_lincls.py / main_linprobe.py)")
+            if self.ss_framework not in (SSLFramework.MOCOV3, SSLFramework.MAE):
+                raise ValueError("--probe requires --ss-framework mocov3 or mae "
+                                 "(the reference has probe scripts only for "
+                                 "those frameworks)")
         return self
 
     def run_name(self) -> str:

@@ -19,21 +19,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_init_distributed() -> None:
-    """Initialize multi-host JAX if the standard coordinator env vars are set.
-
-    Equivalent of the reference's env://, SLURM and OMPI rendezvous detection
-    (`Models/mae/util/misc.py:216-248`), but for TPU pods: on Cloud TPU the runtime
-    autodetects, so explicit addresses are needed only for manual setups.
-    """
-    if jax.process_count() > 1:
-        return  # already initialized
-    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
+    """Initialize multi-host JAX if the launcher environment calls for it.
+    Thin alias for `parallel.distributed.initialize` (kept for back-compat)."""
+    from ssl4gie_tpu.parallel.distributed import initialize
+    initialize()
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None,

@@ -59,26 +59,53 @@ def make_adamw(learning_rate: float = 1e-4, b1: float = 0.9, b2: float = 0.999,
     return optax.chain(*chain)
 
 
+def _locate_inject_state(node):
+    """Path (tuple of child indices) to the InjectHyperparamsState holding
+    'learning_rate', searching through arbitrarily nested chain/wrapper states
+    (chain tuples, MaskedState and friends are all tuples/NamedTuples)."""
+    if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+        return ()
+    if isinstance(node, (tuple, list)):
+        for i, child in enumerate(node):
+            sub = _locate_inject_state(child)
+            if sub is not None:
+                return (i,) + sub
+    return None
+
+
+def _follow(node, path):
+    for i in path:
+        node = node[i]
+    return node
+
+
+def _rebuild(node, path, leaf_fn):
+    if not path:
+        return leaf_fn(node)
+    i = path[0]
+    children = list(node)
+    children[i] = _rebuild(children[i], path[1:], leaf_fn)
+    if hasattr(node, "_make"):          # NamedTuple (chain/wrapper states)
+        return node._make(children)
+    return children if isinstance(node, list) else tuple(children)
+
+
 def get_lr(opt_state) -> float:
     """Read the current injected LR back out of an optimizer state."""
-    for s in jax.tree_util.tree_leaves_with_path(opt_state, is_leaf=lambda x: hasattr(x, "hyperparams")):
-        pass
-    # inject_hyperparams state is the last element of the chain
-    inner = opt_state[-1] if isinstance(opt_state, (tuple, list)) else opt_state
-    return float(inner.hyperparams["learning_rate"])
+    path = _locate_inject_state(opt_state)
+    if path is None:
+        raise ValueError("opt_state contains no inject_hyperparams learning_rate")
+    return float(_follow(opt_state, path).hyperparams["learning_rate"])
 
 
 def set_lr(opt_state, lr: float):
     """Return opt_state with the injected LR replaced (host-side, cheap)."""
-    if isinstance(opt_state, (tuple, list)):
-        inner = opt_state[-1]
-        new_inner = inner._replace(hyperparams={**inner.hyperparams,
-                                                "learning_rate": jnp.asarray(lr, jnp.float32)})
-        return type(opt_state)(list(opt_state[:-1]) + [new_inner]) \
-            if isinstance(opt_state, list) else tuple(opt_state[:-1]) + (new_inner,)
-    new = opt_state._replace(hyperparams={**opt_state.hyperparams,
-                                          "learning_rate": jnp.asarray(lr, jnp.float32)})
-    return new
+    path = _locate_inject_state(opt_state)
+    if path is None:
+        raise ValueError("opt_state contains no inject_hyperparams learning_rate")
+    return _rebuild(opt_state, path, lambda s: s._replace(
+        hyperparams={**s.hyperparams,
+                     "learning_rate": jnp.asarray(lr, jnp.float32)}))
 
 
 def freeze_mask(params, trainable_predicate: Callable[[tuple], bool]):

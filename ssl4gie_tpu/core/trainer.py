@@ -97,15 +97,35 @@ def make_train_step(task: TaskDefinition, accum_steps: int = 1):
 
 
 def make_eval_step(task: TaskDefinition):
-    def eval_step(state: TrainState, batch):
+    """Jitted eval step over a PADDED batch (static shape -> one compile).
+
+    `valid` masks out the padding. For `batch_metric` tasks `eval_metric_fn`
+    returns per-sample (numerator, denominator) pairs; the step reduces them to
+    masked sums, and the host forms the per-batch ratio — equal-weight per
+    batch, like the reference test() loops (`train_segmentation.py:90-95`)."""
+    def eval_step(state: TrainState, batch, valid):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         outputs = state.apply_fn(variables, batch["image"], train=False)
         if task.eval_kind == "accumulate_preds":
             return jnp.argmax(outputs, axis=-1)
-        return task.eval_metric_fn(outputs, batch[task.target_key])
+        num, den = task.eval_metric_fn(outputs, batch[task.target_key])
+        v = valid.astype(num.dtype)
+        return jnp.sum(num * v), jnp.sum(den * v)
     return jax.jit(eval_step)
+
+
+def _pad_eval_batch(batch: dict, static_b: int):
+    """Pad a (possibly ragged tail) batch to `static_b` rows by repeating the
+    last sample. Returns (padded batch of np arrays, true row count)."""
+    arrs = {k: np.asarray(v) for k, v in batch.items()}
+    n = next(iter(arrs.values())).shape[0]
+    if n == static_b:
+        return arrs, n
+    pad = static_b - n
+    return {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+            for k, v in arrs.items()}, n
 
 
 class Trainer:
@@ -198,24 +218,38 @@ class Trainer:
         return last_loss
 
     def evaluate(self, loader, epoch: int, split: str) -> float:
+        """Evaluate a split. Every batch is padded to one static shape (single
+        compile; the ragged tail no longer retraces) and each batch contributes
+        with EQUAL weight, like the reference test() loops which accumulate a
+        per-batch metric and divide by the batch count
+        (`train_segmentation.py:90-95`)."""
+        static_b = getattr(loader, "batch_size", None)
+        it = loader.epoch(0) if hasattr(loader, "epoch") else loader
         if self.task.eval_kind == "accumulate_preds":
             preds, targets = [], []
-            for batch in loader.epoch(0) if hasattr(loader, "epoch") else loader:
-                img = eval_batch(jnp.asarray(batch["image"]))
-                p = self.eval_step(self.state, {**batch, "image": img})
-                preds.append(np.asarray(p))
+            for batch in it:
+                padded, n = _pad_eval_batch(batch, static_b or
+                                            np.asarray(batch["image"]).shape[0])
+                img = eval_batch(jnp.asarray(padded["image"]))
+                valid = jnp.arange(img.shape[0]) < n
+                p = self.eval_step(self.state, {**padded, "image": img}, valid)
+                preds.append(np.asarray(p)[:n])
                 targets.append(np.asarray(batch[self.task.target_key]))
             perf = float(self.eval_finalize(np.concatenate(preds),
                                             np.concatenate(targets)))
         else:
-            total, n = 0.0, 0
-            for batch in loader.epoch(0) if hasattr(loader, "epoch") else loader:
-                img = eval_batch(jnp.asarray(batch["image"]))
-                m = self.eval_step(self.state, {**batch, "image": img})
-                bs = batch["image"].shape[0]
-                total += float(m) * bs
-                n += bs
-            perf = total / max(n, 1)
+            total, batches = 0.0, 0
+            for batch in it:
+                padded, n = _pad_eval_batch(batch, static_b or
+                                            np.asarray(batch["image"]).shape[0])
+                img = eval_batch(jnp.asarray(padded["image"]))
+                valid = jnp.arange(img.shape[0]) < n
+                num, den = self.eval_step(self.state,
+                                          {**padded, "image": img}, valid)
+                den = float(den)
+                total += float(num) / den if den != 0 else 0.0
+                batches += 1
+            perf = total / max(batches, 1)
         self.logger.log({"epoch": epoch, f"{split}_perf": perf})
         return perf
 

@@ -61,6 +61,30 @@ def gradient_loss(prediction, target, mask, scales: int = 4):
     return total
 
 
+def ssi_eval_pair(prediction, target):
+    """Per-sample (numerator, denominator) of the alpha=0 SSI eval loss.
+
+    The reference eval metric (`ScaleAndShiftInvariantLoss(alpha=0)`,
+    `Depth_estimation/Metrics/losses.py:51-57`) is a ratio of sums over the
+    batch: sum_i ||mask*(ssi_pred - gt)||^2 / (2 * sum_i mask_count_i). The
+    per-image scale/shift alignment is independent per sample, so on a padded
+    eval batch sum(num[valid]) / sum(den[valid]) reproduces the reference's
+    value on the unpadded batch exactly."""
+    if prediction.ndim == 4:
+        prediction = prediction[..., 0]
+    if target.ndim == 4:
+        target = target[..., 0]
+    prediction = prediction.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mask = (target > 0).astype(jnp.float32)
+    scale, shift = compute_scale_and_shift(prediction, target, mask)
+    pred_ssi = scale[:, None, None] * prediction + shift[:, None, None]
+    res = pred_ssi - target
+    num = jnp.sum(mask * res * res, axis=(1, 2))
+    den = 2.0 * jnp.sum(mask, axis=(1, 2))
+    return num, den
+
+
 def ssi_loss(prediction, target, alpha: float = 0.1, scales: int = 4):
     """prediction/target: (B, H, W) or (B, H, W, 1). mask = target > 0.
     alpha=0.1 for training, alpha=0 for val/selection (`train_depth.py:280-281`)."""

@@ -44,6 +44,21 @@ def dice_score(logits, targets, apply_sigmoid: bool = True, smooth: float = SMOO
     return jnp.mean(2.0 * (inter + smooth) / (s1 + s2 + smooth))
 
 
+def dice_per_image(logits, targets, apply_sigmoid: bool = True,
+                   smooth: float = SMOOTH):
+    """Per-image Dice, shape (B,) — `dice_score` without the batch mean."""
+    inter, s1, s2 = _thresholded(logits, targets, apply_sigmoid)
+    return 2.0 * (inter + smooth) / (s1 + s2 + smooth)
+
+
+def dice_pair(logits, targets):
+    """(numerator, denominator) per sample for padded-batch evaluation:
+    sum(num[valid]) / sum(den[valid]) over a batch reproduces the reference's
+    per-batch mean Dice (`train_segmentation.py:90-95`) on the unpadded batch."""
+    d = dice_per_image(logits, targets)
+    return d, jnp.ones_like(d)
+
+
 def iou_score(logits, targets, apply_sigmoid: bool = True, smooth: float = SMOOTH):
     inter, s1, s2 = _thresholded(logits, targets, apply_sigmoid)
     return jnp.mean((inter + smooth) / (s1 + s2 - inter + smooth))

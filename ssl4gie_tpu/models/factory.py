@@ -54,14 +54,16 @@ def build_model(task: Task, architecture: Architecture, *, num_classes: int = 1,
                 pretraining: Pretraining = Pretraining.RANDOM,
                 framework: Optional[SSLFramework] = None,
                 out_token: str = "cls", img_size: int = 224,
-                dtype: jnp.dtype = jnp.float32) -> nn.Module:
+                dtype: jnp.dtype = jnp.float32,
+                probe_bn: bool = False) -> nn.Module:
     pet = pos_embed_type_for(pretraining, framework)
     vit = architecture == Architecture.VIT_B
 
     if task == Task.CLASSIFICATION:
         if vit:
             return ViTClassifier(num_classes=num_classes, out_token=out_token,
-                                 pos_embed_type=pet, img_size=img_size, dtype=dtype)
+                                 pos_embed_type=pet, img_size=img_size,
+                                 dtype=dtype, probe_bn=probe_bn)
         return ResNetClassifier(num_classes=num_classes, dtype=dtype)
 
     if task == Task.SEGMENTATION:

@@ -62,13 +62,14 @@ def assign_proposals(key, proposals, prop_valid, gt_boxes, gt_labels, gt_valid,
     no_gt = ~jnp.any(gt_valid)
     labels = jnp.where(no_gt & prop_valid, 0, labels)
 
-    pos_mask, neg_mask = sample_balanced(key, labels, batch_size_per_image,
+    ksample, ktie = jax.random.split(key)
+    pos_mask, neg_mask = sample_balanced(ksample, labels, batch_size_per_image,
                                          positive_fraction)
     sampled_mask = pos_mask | neg_mask
     # gather up to S sampled indices (pad by repeating index 0 with valid=False)
     S = batch_size_per_image
     score = sampled_mask.astype(jnp.float32) * 2.0 + pos_mask.astype(jnp.float32)
-    _, idx = jax.lax.top_k(score + jax.random.uniform(key, score.shape) * 0.5, S)
+    _, idx = jax.lax.top_k(score + jax.random.uniform(ktie, score.shape) * 0.5, S)
     sampled_valid = sampled_mask[idx]
     boxes_s = proposals[idx]
     matched_s = matched[idx]

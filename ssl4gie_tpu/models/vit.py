@@ -110,13 +110,18 @@ class ViTBackbone(nn.Module):
 
 
 class ViTClassifier(nn.Module):
-    """ViT backbone + linear head (`lin_head`, `Models/models.py:295,349-356`)."""
+    """ViT backbone + linear head (`lin_head`, `Models/models.py:295,349-356`).
+
+    probe_bn: the MAE linear-probe "BN-before-head" hack — a non-affine
+    BatchNorm1d(eps=1e-6) over the pooled features (`main_linprobe.py:221-222`).
+    Stats are global-batch under GSPMD, i.e. SyncBN, like the DDP reference."""
     num_classes: int
     out_token: str = "cls"
     pos_embed_type: str = "learned"
     img_size: int = 224
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None
+    probe_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -124,5 +129,10 @@ class ViTClassifier(nn.Module):
                            out_token=self.out_token,
                            pos_embed_type=self.pos_embed_type, dtype=self.dtype,
                            attn_fn=self.attn_fn, name="backbone")(x, train)
+        feat = feat.astype(jnp.float32)
+        if self.probe_bn:
+            feat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-6, use_bias=False, use_scale=False,
+                                name="head_bn")(feat)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="lin_head")(
-            feat.astype(jnp.float32))
+            feat)

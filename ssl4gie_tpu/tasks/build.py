@@ -86,7 +86,7 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
         td = TaskDefinition(
             name="segmentation", aug_mode="segmentation", target_key="mask",
             loss_fn=seg_metrics.soft_dice_loss,
-            eval_metric_fn=seg_metrics.dice_score, select_mode="max",
+            eval_metric_fn=seg_metrics.dice_pair, select_mode="max",
             has_dropout=True)  # DPT seg head Dropout(0.1) / DeepLabV3+ ASPP Dropout(0.5)
         return td, None
 
@@ -94,7 +94,7 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
         td = TaskDefinition(
             name="depth", aug_mode="depth", target_key="depth",
             loss_fn=functools.partial(depth_metrics.ssi_loss, alpha=0.1),
-            eval_metric_fn=functools.partial(depth_metrics.ssi_loss, alpha=0.0),
+            eval_metric_fn=depth_metrics.ssi_eval_pair,
             select_mode="min")
         return td, None
 
@@ -112,11 +112,13 @@ def build_trainer(cfg: TrainConfig):
     td, finalize = make_task_definition(cfg, extras)
 
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+    from ssl4gie_tpu.core.config import SSLFramework
     model = build_model(cfg.task, cfg.architecture,
                         num_classes=extras.get("n_class", 1),
                         pretraining=cfg.pretraining, framework=cfg.ss_framework,
                         out_token=cfg.out_token, img_size=cfg.data.img_size,
-                        dtype=dtype)
+                        dtype=dtype,
+                        probe_bn=cfg.probe and cfg.ss_framework == SSLFramework.MAE)
 
     rng = jax.random.PRNGKey(cfg.runtime.seed)
     sample = jnp.zeros((2, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
@@ -136,16 +138,29 @@ def build_trainer(cfg: TrainConfig):
         from ssl4gie_tpu.convert import load_imagenet_supervised
         params = load_imagenet_supervised(cfg, params)
 
-    tx = make_adamw(cfg.optim.learning_rate, cfg.optim.b1, cfg.optim.b2,
-                    cfg.optim.eps, cfg.optim.adamw_weight_decay,
-                    grad_clip=cfg.optim.grad_clip)
-    if cfg.frozen:
-        # train only heads/decoders (reference freezes the encoder with no_grad,
-        # `Models/models.py:138-140`)
-        def trainable(path):
-            joined = "/".join(path)
-            return not (joined.startswith("backbone") or joined.startswith("encoder"))
-        tx = make_frozen_tx(tx, params, trainable)
+    if cfg.probe:
+        # linear-probe recipe: re-init head, freeze-all-but-head, SGD (MoCo) or
+        # LARS (MAE) — `main_lincls.py:158-166,233-237`, `main_linprobe.py:219-252`
+        from ssl4gie_tpu.ssl.probe import make_probe_tx, reinit_head
+        params = reinit_head(params, jax.random.fold_in(rng, 7))
+        tx = make_probe_tx(cfg.ss_framework, cfg.optim.learning_rate, params)
+    else:
+        tx = make_adamw(cfg.optim.learning_rate, cfg.optim.b1, cfg.optim.b2,
+                        cfg.optim.eps, cfg.optim.adamw_weight_decay,
+                        grad_clip=cfg.optim.grad_clip)
+        if cfg.optim.layer_decay is not None:
+            import optax
+            from ssl4gie_tpu.ssl.lr_decay import scale_by_layer_decay
+            tx = optax.chain(tx, scale_by_layer_decay(
+                params, decay=cfg.optim.layer_decay))
+        if cfg.frozen:
+            # train only heads/decoders (reference freezes the encoder with
+            # no_grad, `Models/models.py:138-140`)
+            def trainable(path):
+                joined = "/".join(path)
+                return not (joined.startswith("backbone")
+                            or joined.startswith("encoder"))
+            tx = make_frozen_tx(tx, params, trainable)
 
     state = TrainState.create(model.apply, params, tx, batch_stats)
     state = jax.device_put(state, replicated(mesh))

@@ -222,14 +222,20 @@ def evaluate_map(model, params, source, batch_size: int = 2,
     eval_step = make_detection_eval_step(model, batch_stats)
     metric = MeanAveragePrecision()
     n = len(source)
-    for start in range(0, n - n % batch_size, batch_size):
-        samples = [source.get(i) for i in range(start, start + batch_size)]
+    for start in range(0, n, batch_size):
+        # every image enters the metric (the reference evaluates all of them,
+        # `eval_detection.py`); the ragged tail is padded by repeating the last
+        # sample so the jitted step keeps one static shape, and the padded rows
+        # are skipped below.
+        real = min(batch_size, n - start)
+        samples = [source.get(start + min(i, real - 1))
+                   for i in range(batch_size)]
         imgs = jnp.asarray(np.stack([s["image"] for s in samples])
                            ).astype(jnp.float32) / 255.0
         det = eval_step(params, imgs)
         det = {k: np.asarray(v) for k, v in det.items()}
         preds, targets = [], []
-        for bi, s in enumerate(samples):
+        for bi, s in enumerate(samples[:real]):
             ok = det["valid"][bi]
             preds.append({"boxes": det["boxes"][bi][ok],
                           "scores": det["scores"][bi][ok],
