@@ -101,12 +101,15 @@ def plain_attention(q, k, v, scale: float):
     return jnp.einsum("...hnm,...hmd->...hnd", attn, v)
 
 
-FLASH_MIN_SEQ = 1024   # below this the (N, N) tile fits and plain XLA wins
+FLASH_MIN_SEQ = 1024   # blockwise kernel for long sequences (detection)
+FUSED_MIN_SEQ = 160    # packed-QKV single-block kernel for dense tasks (197)
 
 
 def default_attention(q, k, v, scale: float):
     """Dispatch: Pallas flash kernel for long sequences on TPU (detection's 4,096
-    global-attention tokens), plain fused XLA otherwise (197-token dense tasks)."""
+    global-attention tokens), plain fused XLA otherwise. Short dense sequences
+    (197 tokens) never reach here on TPU — Attention routes their packed QKV
+    through kernels.dense_attention without splitting heads."""
     n = q.shape[-2]
     if (n >= FLASH_MIN_SEQ and n % 256 == 0 and q.ndim == 4
             and jax.default_backend() == "tpu"):
@@ -150,6 +153,16 @@ class Attention(nn.Module):
             out = windowed_flash_attention(
                 qkv.reshape(B, gh, gw, 3 * C), H, self.window_size, scale)
             out = out.reshape(B, N, C)
+            return nn.Dense(C, dtype=self.dtype, kernel_init=self.kernel_init,
+                            name="proj")(out)
+
+        if (self.window_size is None and self.attn_fn is None
+                and FUSED_MIN_SEQ <= N <= 512
+                and jax.default_backend() == "tpu"):
+            # dense tasks (N=197): one Pallas program per image consumes the
+            # packed (B, N, 3C) qkv — no head-split transposes, no pad/slice
+            from ssl4gie_tpu.kernels.dense_attention import fused_qkv_attention
+            out = fused_qkv_attention(qkv, H, scale)
             return nn.Dense(C, dtype=self.dtype, kernel_init=self.kernel_init,
                             name="proj")(out)
 

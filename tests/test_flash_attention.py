@@ -60,3 +60,40 @@ def test_flash_gradients_match_plain(qkv):
     for a, b, name in zip(gf, gp, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3,
                                    atol=3e-3, err_msg=name)
+
+
+def test_fused_qkv_attention_matches_plain():
+    """The packed-QKV dense kernel (one VMEM block per image, softmax recomputed
+    in the backward) matches head-split plain attention for N=197, including
+    the out-of-bounds block rows it must zero in-kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ssl4gie_tpu.kernels.dense_attention import fused_qkv_attention
+
+    B, H, N, Dh = 2, 4, 197, 64
+    C = H * Dh
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(0, 1, (B, N, 3 * C)).astype(np.float32))
+    scale = Dh ** -0.5
+
+    def via_plain(qkv):
+        t = qkv.reshape(B, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+        o = plain_attention(t[0], t[1], t[2], scale)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    ref = via_plain(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_qkv_attention(qkv, H, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+    def loss(fn, x):
+        o = fn(x)
+        return jnp.sum(o * jnp.sin(o))
+
+    g_ref = jax.grad(lambda x: loss(via_plain, x))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        g_out = jax.grad(
+            lambda x: loss(lambda q: fused_qkv_attention(q, H, scale), x))(qkv)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), rtol=2e-3,
+                               atol=2e-3)

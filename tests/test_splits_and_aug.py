@@ -93,3 +93,41 @@ def test_color_jitter_bounds():
     img = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
     out = np.asarray(color_jitter(jax.random.PRNGKey(1), jnp.asarray(img)))
     assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+
+
+def test_rotate_nearest_shear_matches_gather_rotation():
+    """The gather-free 3-shear rotation is exact at multiples of 90 deg and
+    agrees with the direct nearest gather elsewhere up to the independent
+    rounding of the three shear passes (differing pixels pick an adjacent
+    source pixel, so value error on smooth images stays tiny)."""
+    import jax.numpy as jnp
+
+    from ssl4gie_tpu.data.augment import (_inverse_affine_matrix, affine_sample,
+                                          rotate_nearest_shear)
+
+    rng = np.random.default_rng(0)
+    B, H = 8, 64
+    img = jnp.asarray(rng.random((B, H, H, 3)).astype(np.float32))
+
+    for deg in (0.0, 90.0, -90.0, 180.0, -180.0):
+        a = jnp.full((B,), deg, jnp.float32)
+        m = _inverse_affine_matrix(a, jnp.zeros((B, 2)), jnp.ones(B), jnp.zeros(B))
+        ref = affine_sample(img, m, fill=0.0, mode="nearest")
+        out = rotate_nearest_shear(img, a, fill=0.0)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    a = jnp.asarray(rng.uniform(-180, 180, B), jnp.float32)
+    m = _inverse_affine_matrix(a, jnp.zeros((B, 2)), jnp.ones(B), jnp.zeros(B))
+    ref = np.asarray(affine_sample(img, m, fill=0.0, mode="nearest"))
+    out = np.asarray(rotate_nearest_shear(img, a, fill=0.0))
+    assert np.mean(ref == out) > 0.6            # mostly identical source pixels
+    # fill regions (out-of-bounds sources) line up except at mask borders
+    assert np.mean((ref == 0.0) == (out == 0.0)) > 0.98
+
+    # smooth image: off-by-one source pixels produce only tiny value changes
+    yy, xx = np.meshgrid(np.arange(H), np.arange(H), indexing="ij")
+    smooth = np.stack([np.sin(xx / 9.0) * np.cos(yy / 7.0)] * 3, -1)
+    smooth = jnp.asarray(np.broadcast_to(smooth[None], (B, H, H, 3)).astype(np.float32))
+    ref = np.asarray(affine_sample(smooth, m, fill=0.0, mode="nearest"))
+    out = np.asarray(rotate_nearest_shear(smooth, a, fill=0.0))
+    assert np.percentile(np.abs(ref - out), 95) < 0.15
