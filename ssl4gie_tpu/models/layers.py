@@ -213,6 +213,9 @@ class Block(nn.Module):
                       kernel_init=self.kernel_init, name="attn")(h, grid_hw)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        # NOTE: rematting the MLP (checkpoint_dots, recompute-GELU-in-backward)
+        # was measured SLOWER end-to-end on v5e (821 vs 969 img/s) — the remat
+        # boundary breaks XLA's fc1+gelu fusion — so the block stays plain.
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                 kernel_init=self.kernel_init, name="mlp")(h)
         return x + h
