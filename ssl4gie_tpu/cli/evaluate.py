@@ -38,7 +38,8 @@ def load_eval_state(cfg):
             canvas = 256 if cfg.architecture.value == "vit_b" \
                 else min(cfg.data.img_size, 256)
         else:
-            canvas = 1024
+            from ssl4gie_tpu.tasks.detection import TV_CANVAS
+            canvas = 1024 if cfg.architecture.value == "vit_b" else TV_CANVAS
         small = dict(rpn_pre_nms_top_n_test=100, rpn_post_nms_top_n_test=50,
                      detections_per_img=10) if cfg.data.synthetic else {}
         arch = "vit_b" if cfg.architecture.value == "vit_b" else "resnet50"
@@ -86,7 +87,11 @@ def make_test_source(cfg):
         paths, targets = discovery.discover_detection(cfg.data.data_root,
                                                       cfg.data.dataset)
         _, te, _ = split_ids(len(paths))
-        return DetectionSource([paths[i] for i in te], targets, 1024)
+        from ssl4gie_tpu.tasks.detection import TV_CANVAS
+        if cfg.architecture.value == "vit_b":
+            return DetectionSource([paths[i] for i in te], targets, 1024)
+        return DetectionSource([paths[i] for i in te], targets, TV_CANVAS,
+                               resize="torchvision")
     if cfg.data.synthetic:
         return SyntheticSource(cfg.data.synthetic_size, cfg.data.img_size,
                                cfg.task.value, seed=2)

@@ -199,18 +199,24 @@ def _build_detection_trainer(cfg: TrainConfig, mesh):
                                              SyntheticDetectionSource)
 
     d = cfg.data
-    canvas = 1024
+    # ViT: reference fixed_size 1024 (`train_detection.py:250`). RN50: torchvision
+    # GeneralizedRCNNTransform min/max resize onto a 1344 static canvas
+    # (`train_detection.py:197-204`; tasks.detection.DetectionSource docstring).
+    from ssl4gie_tpu.tasks.detection import TV_CANVAS
+    vit = cfg.architecture == Architecture.VIT_B
+    canvas = 1024 if vit else TV_CANVAS
+    resize = "fixed" if vit else "torchvision"
     if d.synthetic:
         # ViT det needs the token grid divisible by the 16-unit window -> canvas
         # must be a multiple of 256
-        canvas = 256 if cfg.architecture == Architecture.VIT_B \
-            else min(d.img_size, 256)
+        canvas = 256 if vit else min(d.img_size, 256)
         mk = lambda seed: SyntheticDetectionSource(d.synthetic_size, canvas, seed)
         train_src, val_src, test_src = mk(0), mk(1), mk(2)
     else:
         paths, targets = discovery.discover_detection(d.data_root, d.dataset)
         tr, te, va = split_ids(len(paths))
-        mk = lambda idx: DetectionSource([paths[i] for i in idx], targets, canvas)
+        mk = lambda idx: DetectionSource([paths[i] for i in idx], targets, canvas,
+                                         resize=resize)
         train_src, val_src, test_src = mk(tr), mk(va), mk(te)
 
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32

@@ -35,11 +35,32 @@ def parse_kvasir_targets(input_path: str, targets: dict):
     return boxes, labels
 
 
+TV_MIN_SIZE = 800      # torchvision GeneralizedRCNNTransform defaults
+TV_MAX_SIZE = 1333     # (`fasterrcnn_resnet50_fpn`, `train_detection.py:197`)
+TV_CANVAS = 1344       # 1333 rounded up to the FPN's size_divisible=32
+
+
 class DetectionSource(Source):
+    """Host-side detection image prep into one static canvas.
+
+    resize modes:
+    - "fixed" (ViT path): optional 2x bicubic downscale when larger than the
+      canvas, then CENTER-pad into a square canvas — the reference's ViT-Det
+      prep (`Object_detection/Data/dataset.py:82-106` + fixed_size 1024).
+    - "torchvision" (RN50 path): torchvision GeneralizedRCNNTransform
+      semantics — bilinear resize by min(800/min_side, 1333/max_side), boxes
+      scaled by the per-axis actual ratios, image placed TOP-LEFT on a 1344
+      canvas (torchvision zero-pads bottom/right to the batch max rounded to
+      /32; a fixed 1344 equals that behavior for a batch whose max is 1344).
+      Replaces the round-1 fixed-1024 deviation for RN50
+      (`train_detection.py:197-204`).
+    """
+
     def __init__(self, paths: List[str], targets: dict, canvas: int = 1024,
-                 keep_original: bool = False):
+                 keep_original: bool = False, resize: str = "fixed"):
         self.paths, self.targets, self.canvas = list(paths), targets, canvas
         self.keep_original = keep_original
+        self.resize = resize
 
     def __len__(self):
         return len(self.paths)
@@ -52,20 +73,29 @@ class DetectionSource(Source):
         if im.mode != "RGB":
             im = im.convert("RGB")
         W, H = im.size
-        orig = np.asarray(im, np.uint8) if self.keep_original else None
-        # halve if larger than the canvas (bicubic, `Data/dataset.py:84-99`)
-        scale = 1.0
-        if H > self.canvas or W > self.canvas:
-            if H % 2:
-                H += 1
-            if W % 2:
-                W += 1
-            im = im.resize((W // 2, H // 2), Image.BICUBIC)
-            W, H = im.size
-            boxes = boxes / 2.0
-            scale = 0.5
-        p1 = int(np.floor((self.canvas - W) / 2))
-        p2 = int(np.floor((self.canvas - H) / 2))
+        if self.resize == "torchvision":
+            s = min(TV_MIN_SIZE / min(H, W), TV_MAX_SIZE / max(H, W))
+            W2, H2 = int(round(W * s)), int(round(H * s))
+            im = im.resize((W2, H2), Image.BILINEAR)
+            boxes[:, [0, 2]] *= W2 / W      # torchvision resize_boxes: per-axis
+            boxes[:, [1, 3]] *= H2 / H      # ratios of actual new/old sizes
+            W, H = W2, H2
+            p1 = p2 = 0                     # top-left placement
+            scale = s
+        else:
+            # halve if larger than the canvas (bicubic, `Data/dataset.py:84-99`)
+            scale = 1.0
+            if H > self.canvas or W > self.canvas:
+                if H % 2:
+                    H += 1
+                if W % 2:
+                    W += 1
+                im = im.resize((W // 2, H // 2), Image.BICUBIC)
+                W, H = im.size
+                boxes = boxes / 2.0
+                scale = 0.5
+            p1 = int(np.floor((self.canvas - W) / 2))
+            p2 = int(np.floor((self.canvas - H) / 2))
         canvas = np.zeros((self.canvas, self.canvas, 3), np.uint8)
         canvas[p2:p2 + H, p1:p1 + W] = np.asarray(im, np.uint8)
         boxes[:, [0, 2]] += p1

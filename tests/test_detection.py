@@ -166,3 +166,33 @@ def test_faster_rcnn_train_and_eval_smoke():
                       batch["image"], train=False)
     assert det["boxes"].shape == (2, 10, 4)
     assert det["scores"].shape == (2, 10)
+
+
+def test_detection_source_torchvision_resize(tmp_path):
+    """RN50-path data prep follows torchvision GeneralizedRCNNTransform:
+    scale = min(800/min_side, 1333/max_side), per-axis box ratios, top-left
+    placement on the 1344 static canvas (`train_detection.py:197-204`)."""
+    from PIL import Image
+
+    from ssl4gie_tpu.tasks.detection import (TV_CANVAS, DetectionSource)
+
+    rng = np.random.default_rng(0)
+    cases = [(600, 400, 2.0), (1920, 1072, 1333 / 1920)]   # (W, H, expected s)
+    for W, H, s_exp in cases:
+        p = tmp_path / f"img_{W}x{H}.png"
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(p)
+        targets = {p.stem: {"bbox": [
+            {"xmin": 10, "ymin": 20, "xmax": W // 2, "ymax": H // 2}]}}
+        src = DetectionSource([str(p)], targets, TV_CANVAS, resize="torchvision")
+        out = src.get(0)
+        assert out["image"].shape == (TV_CANVAS, TV_CANVAS, 3)
+        W2, H2 = int(round(W * s_exp)), int(round(H * s_exp))
+        # image content sits top-left: the row/col just past the resized extent
+        # is zero padding
+        assert out["image"][:H2, :W2].any()
+        assert not out["image"][H2:, :].any()
+        assert not out["image"][:, W2:].any()
+        b = out["gt_boxes"][0]
+        np.testing.assert_allclose(
+            b, [10 * W2 / W, 20 * H2 / H, (W // 2) * W2 / W, (H // 2) * H2 / H],
+            rtol=1e-6)
