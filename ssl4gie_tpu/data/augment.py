@@ -109,10 +109,14 @@ def color_jitter(key, img, brightness=0.4, contrast=0.5, saturation=0.25, hue=0.
     B = img.shape[0]
     kb, kc, ks, kh, ko = jax.random.split(key, 5)
     shape = (B, 1, 1, 1)
-    fb = jax.random.uniform(kb, shape, minval=1 - brightness, maxval=1 + brightness)
-    fc = jax.random.uniform(kc, shape, minval=1 - contrast, maxval=1 + contrast)
-    fs = jax.random.uniform(ks, shape, minval=1 - saturation, maxval=1 + saturation)
-    fh = jax.random.uniform(kh, (B, 1, 1), minval=-hue, maxval=hue)
+    dt = img.dtype   # keep the pipeline in the input dtype (bf16 on-device aug)
+    fb = jax.random.uniform(kb, shape, minval=1 - brightness,
+                            maxval=1 + brightness).astype(dt)
+    fc = jax.random.uniform(kc, shape, minval=1 - contrast,
+                            maxval=1 + contrast).astype(dt)
+    fs = jax.random.uniform(ks, shape, minval=1 - saturation,
+                            maxval=1 + saturation).astype(dt)
+    fh = jax.random.uniform(kh, (B, 1, 1), minval=-hue, maxval=hue).astype(dt)
 
     ops = [lambda x: _adjust_brightness(x, fb),
            lambda x: _adjust_contrast(x, fc),
@@ -138,7 +142,7 @@ def gaussian_blur(key, img, kernel_size: int = 25, sigma_range=(0.001, 2.0)):
                                maxval=sigma_range[1])
     xs = jnp.arange(-k, k + 1, dtype=jnp.float32)[None, :]
     w = jnp.exp(-0.5 * (xs / sigma) ** 2)
-    w = w / jnp.sum(w, axis=1, keepdims=True)          # (B, K)
+    w = (w / jnp.sum(w, axis=1, keepdims=True)).astype(img.dtype)   # (B, K)
 
     def conv_axis(x, axis):
         pad = [(0, 0)] * 4
@@ -355,20 +359,25 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
       (`Depth_estimation/Data/dataset.py:55-63`).
     """
     kj, kb, kf, ka = jax.random.split(key, 4)
-    img = img_u8.astype(jnp.float32) / 255.0
-    img = color_jitter(kj, img)
-    img = gaussian_blur(kb, img)
-
     if mode == "classification":
+        # the whole classification aug runs in bf16 on TPU: the model consumes
+        # bf16 anyway, and bf16's ~3-decimal-digit resolution on [0,1] sits at
+        # the uint8 quantization floor the pipeline starts from. Targets are
+        # untouched (labels). Halves the aug's HBM traffic.
+        dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        img = img_u8.astype(dt) / 255.0
+        img = color_jitter(kj, img)
+        img = gaussian_blur(kb, img)
         img, _ = random_flips(kf, img)
         B = img.shape[0]
         angle = jax.random.uniform(ka, (B,), minval=-180.0, maxval=180.0)
-        # gather-free rotation (rot90 fold + Paeth 3-shear roll/select), run in
-        # bf16: the model consumes bf16, and nearest resampling only permutes
-        # values, so the only precision cost is the [0,1] jitter/blur output
-        # passing through bf16 once (~3 decimal digits, below uint8 quantization).
-        img = rotate_nearest_shear(img.astype(jnp.bfloat16), angle, fill=0.0)
+        # gather-free rotation: rot90 fold + Paeth 3-shear roll/select
+        img = rotate_nearest_shear(img, angle, fill=0.0)
         return normalize(img.astype(jnp.float32)), target
+
+    img = img_u8.astype(jnp.float32) / 255.0
+    img = color_jitter(kj, img)
+    img = gaussian_blur(kb, img)
 
     img = normalize(img)
     img, target = random_flips(kf, img, target)

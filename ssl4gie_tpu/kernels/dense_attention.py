@@ -84,12 +84,14 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, H, Dh, scale, n):
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)     # = rowsum(do * o)
         ds = (p * (dp - delta) * scale).astype(dt)
         pb = p.astype(dt)
+        # x^T @ y as a dim-0 contraction — lets Mosaic feed the MXU directly
+        # instead of materializing the (Nb, Nb) transpose in VMEM
+        dgT = lambda a, b: jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dqkv_ref[0, :, h * Dh:(h + 1) * Dh] = jnp.dot(
             ds, k, preferred_element_type=jnp.float32).astype(dt)
-        dqkv_ref[0, :, C + h * Dh:C + (h + 1) * Dh] = jnp.dot(
-            ds.T, q, preferred_element_type=jnp.float32).astype(dt)
-        dqkv_ref[0, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh] = jnp.dot(
-            pb.T, do, preferred_element_type=jnp.float32).astype(dt)
+        dqkv_ref[0, :, C + h * Dh:C + (h + 1) * Dh] = dgT(ds, q).astype(dt)
+        dqkv_ref[0, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh] = dgT(pb, do).astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

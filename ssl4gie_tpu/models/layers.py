@@ -86,7 +86,12 @@ class Mlp(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=self.kernel_init, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # exact erf GELU in f32 (reference timm parity, converter tests at
+        # 2e-4); tanh GELU under bf16 compute, where the two differ by at most
+        # one bf16 ULP (max |diff| 4.7e-4 in f32; 40% of values shift one ULP)
+        # and the erf rational costs ~7 ms/step of the ViT-B v5e train step
+        # (measured 982 -> 1038 img/s).
+        x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = nn.Dense(self.out_dim, dtype=self.dtype,
                      kernel_init=self.kernel_init, name="fc2")(x)
         return x
