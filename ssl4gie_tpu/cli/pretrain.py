@@ -66,8 +66,12 @@ def main():
 
     from ssl4gie_tpu.core.mesh import maybe_init_distributed
     maybe_init_distributed()
+    from ssl4gie_tpu.core.preempt import REQUEUE_EXIT_CODE, Preempted
     from ssl4gie_tpu.ssl.pretrain import run_pretraining
-    path = run_pretraining(cfg)
+    try:
+        path = run_pretraining(cfg)
+    except Preempted:
+        raise SystemExit(REQUEUE_EXIT_CODE)
     print(f"pretrained encoder checkpoint: {path}")
 
 

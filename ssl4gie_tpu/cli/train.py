@@ -24,7 +24,13 @@ def main():
     from ssl4gie_tpu.tasks import build_trainer
     trainer = build_trainer(cfg)
     trainer.logger.write_args(vars(args))
-    best = trainer.fit()
+    from ssl4gie_tpu.core.preempt import REQUEUE_EXIT_CODE, Preempted
+    try:
+        best = trainer.fit()
+    except Preempted:
+        # state saved; the supervisor relaunches this exact command and
+        # auto-resume continues (core/preempt.py)
+        raise SystemExit(REQUEUE_EXIT_CODE)
     print(f"best val performance: {best}")
 
 

@@ -26,6 +26,7 @@ import numpy as np
 from ssl4gie_tpu.core import checkpoint as ckpt_lib
 from ssl4gie_tpu.core.logger import MetricsLogger, Throughput
 from ssl4gie_tpu.core.mesh import replicated
+from ssl4gie_tpu.core.preempt import Preempted, PreemptionGuard
 from ssl4gie_tpu.core.schedule import ReduceLROnPlateau
 from ssl4gie_tpu.core.train_state import TrainState, get_lr, set_lr
 from ssl4gie_tpu.data.augment import augment_train_batch, eval_batch
@@ -154,6 +155,13 @@ class Trainer:
         self.start_epoch = 1
         self.best_val: Optional[float] = None
         self.root_key = jax.random.PRNGKey(seed)
+        # sibling slot for preemption saves: the best-val slot must keep the
+        # BEST params (eval/predict load it), so the requeue state lives next
+        # to it and maybe_resume picks whichever is newer
+        import os as _os
+        self.preempt_ckpt = ckpt_lib.CheckpointManager(
+            _os.path.dirname(ckpt.path), _os.path.basename(ckpt.path) + ".preempt")
+        self._guard: Optional[PreemptionGuard] = None
 
     # -------------------------------------------------------------- epochs
 
@@ -193,6 +201,10 @@ class Trainer:
         epoch_keys = jax.random.split(
             jax.random.fold_in(self.root_key, epoch), 2 * n_steps)
         for step, batch in enumerate(it):
+            if self._guard is not None and self._guard.should_stop:
+                # mid-epoch preemption: state as of the last COMPLETE epoch is
+                # what resumes (per-epoch RNG makes the replay deterministic)
+                self._check_preempted(epoch - 1)
             if profile_dir and step == 5:
                 jax.profiler.start_trace(profile_dir)
             kaug, kstep = epoch_keys[2 * step], epoch_keys[2 * step + 1]
@@ -268,9 +280,24 @@ class Trainer:
                          "lr": get_lr(self.state.opt_state)}}
 
     def maybe_resume(self):
-        if not self.ckpt.exists():
+        # prefer the preemption slot when it is NEWER than the best-val slot
+        # (it records a later epoch of the same run); the best-val slot keeps
+        # serving eval/predict either way
+        src = None
+        if self.ckpt.exists():
+            src = self.ckpt
+        if self.preempt_ckpt.exists():
+            if src is None:
+                src = self.preempt_ckpt
+            else:
+                best = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+                pre = self.preempt_ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+                src = (self.preempt_ckpt
+                       if int(pre["meta"]["epoch"]) > int(best["meta"]["epoch"])
+                       else self.ckpt)
+        if src is None:
             return
-        restored = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+        restored = src.restore(self._ckpt_tree(0, 0.0, 0.0))
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             batch_stats=restored["batch_stats"])
@@ -289,16 +316,38 @@ class Trainer:
     def fit(self, profile_dir: Optional[str] = None):
         self.maybe_resume()
         try:
-            return self._fit(profile_dir)
+            with PreemptionGuard() as self._guard:
+                return self._fit(profile_dir)
         except KeyboardInterrupt:
             # clean exit like the reference (`train_classification.py:329-331`);
             # the best-val checkpoint on disk stays valid for resume
             self.logger.log({"interrupted_at_epoch": -1},
                             echo="KeyboardInterrupt — exiting cleanly")
             return self.best_val
+        finally:
+            self._guard = None
+
+    def _check_preempted(self, epoch: int):
+        """Poll the signal latch; save the requeue state and stop if set.
+
+        Epoch granularity: the saved meta marks `epoch` epochs COMPLETE and the
+        relaunch restarts at epoch+1. A mid-epoch signal saves the in-flight
+        params with the last completed epoch's marker, so the interrupted
+        epoch re-runs on top of them — the same policy as submitit requeueing
+        from the last periodic checkpoint (`submitit_pretrain.py:60-70`)."""
+        if self._guard is None or not self._guard.should_stop:
+            return
+        if ckpt_lib.is_primary():
+            self.preempt_ckpt.save(self._ckpt_tree(
+                epoch, self.best_val if self.best_val is not None else 0.0, 0.0))
+        self.logger.log({"preempted_after_epoch": epoch},
+                        echo=f"preemption signal — state saved after epoch "
+                             f"{epoch}, exiting for requeue")
+        raise Preempted()
 
     def _fit(self, profile_dir: Optional[str] = None):
         for epoch in range(self.start_epoch, self.epochs + 1):
+            self._check_preempted(epoch - 1)
             self.train_epoch(epoch, profile_dir if epoch == self.start_epoch
                              else None)
             val_perf = self.evaluate(self.val_loader, epoch, "val")

@@ -209,19 +209,28 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
 
 def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
              two_view, steps_per_epoch):
+    from ssl4gie_tpu.core.preempt import Preempted, PreemptionGuard
     meter = Throughput()
-    for epoch in range(1, cfg.epochs + 1):
-        it = prefetch_to_device(loader.epoch(epoch), mesh)
-        epoch_keys = jax.random.split(jax.random.fold_in(root_key, epoch),
-                                      max(steps_per_epoch, 1))
-        for step, batch in enumerate(it):
-            if step >= steps_per_epoch:
-                break
-            key = epoch_keys[step]
-            state, metrics = train_step(state, batch["image"], key)
-            meter.update(batch["image"].shape[0])
-            if (step + 1) % cfg.runtime.log_every == 0:
-                logger.log({"epoch": epoch, "step": step + 1,
-                            "loss": float(metrics["loss"]), **meter.rates()})
-        save(state, epoch)
+    with PreemptionGuard() as guard:
+        for epoch in range(1, cfg.epochs + 1):
+            it = prefetch_to_device(loader.epoch(epoch), mesh)
+            epoch_keys = jax.random.split(jax.random.fold_in(root_key, epoch),
+                                          max(steps_per_epoch, 1))
+            for step, batch in enumerate(it):
+                if step >= steps_per_epoch:
+                    break
+                key = epoch_keys[step]
+                state, metrics = train_step(state, batch["image"], key)
+                meter.update(batch["image"].shape[0])
+                if (step + 1) % cfg.runtime.log_every == 0:
+                    logger.log({"epoch": epoch, "step": step + 1,
+                                "loss": float(metrics["loss"]), **meter.rates()})
+            save(state, epoch)
+            if guard.should_stop:
+                # pretraining already checkpoints per epoch — the save above IS
+                # the requeue state (submitit_pretrain.py:60-70 equivalent)
+                logger.log({"preempted_after_epoch": epoch},
+                           echo=f"preemption signal — checkpointed epoch "
+                                f"{epoch}, exiting for requeue")
+                raise Preempted()
     return state

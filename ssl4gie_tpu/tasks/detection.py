@@ -357,22 +357,30 @@ class DetectionTrainer:
 
     def fit(self):
         from ssl4gie_tpu.core import checkpoint as ckpt_lib
+        from ssl4gie_tpu.core.preempt import Preempted, PreemptionGuard
         self.maybe_resume()
-        for epoch in range(self.start_epoch, self.cfg.epochs + 1):
-            self.train_epoch(epoch)
-            val = self.evaluate(self.val_source, epoch, "val")
-            test = self.evaluate(self.test_source, epoch, "test")
-            if self.plateau is not None:
-                new_lr = self.plateau.step(val, self._lr)
-                if new_lr != self._lr:
-                    self._lr = new_lr
-                    from ssl4gie_tpu.core.train_state import set_lr
-                    self.state = (self.state[0], set_lr(self.state[1], new_lr))
-                    self.logger.log({"epoch": epoch, "lr_reduced_to": new_lr})
-            if self.best_val is None or val > self.best_val:
-                self.best_val = val
-                if ckpt_lib.is_primary():
-                    self.ckpt.save(self._ckpt_tree(epoch, val, test))
-                self.logger.log({"epoch": epoch, "new_best_val_map": val,
-                                 "test_map_at_best": test})
+        with PreemptionGuard() as guard:
+            for epoch in range(self.start_epoch, self.cfg.epochs + 1):
+                self.train_epoch(epoch)
+                val = self.evaluate(self.val_source, epoch, "val")
+                test = self.evaluate(self.test_source, epoch, "test")
+                if self.plateau is not None:
+                    new_lr = self.plateau.step(val, self._lr)
+                    if new_lr != self._lr:
+                        self._lr = new_lr
+                        from ssl4gie_tpu.core.train_state import set_lr
+                        self.state = (self.state[0], set_lr(self.state[1], new_lr))
+                        self.logger.log({"epoch": epoch, "lr_reduced_to": new_lr})
+                if self.best_val is None or val > self.best_val:
+                    self.best_val = val
+                    if ckpt_lib.is_primary():
+                        self.ckpt.save(self._ckpt_tree(epoch, val, test))
+                    self.logger.log({"epoch": epoch, "new_best_val_map": val,
+                                     "test_map_at_best": test})
+                if guard.should_stop:
+                    # best-val slot already on disk; epoch-boundary exit for
+                    # requeue (submitit_pretrain.py:60-70 equivalent)
+                    self.logger.log({"preempted_after_epoch": epoch},
+                                    echo="preemption signal — exiting for requeue")
+                    raise Preempted()
         return self.best_val

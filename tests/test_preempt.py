@@ -1,0 +1,73 @@
+"""Preemption checkpoint-and-requeue (core/preempt.py — the TPU-native
+equivalent of submitit's checkpoint() requeue hook,
+`Models/mae/submitit_pretrain.py:60-70`)."""
+
+import os
+import signal
+import tempfile
+
+import pytest
+
+from ssl4gie_tpu.core.config import (Architecture, DataConfig, OptimConfig,
+                                     RuntimeConfig, Task, TrainConfig)
+from ssl4gie_tpu.core.preempt import (REQUEUE_EXIT_CODE, Preempted,
+                                      PreemptionGuard)
+from ssl4gie_tpu.tasks import build_trainer
+
+
+def tiny_config(tmp, epochs=3):
+    return TrainConfig(
+        task=Task.CLASSIFICATION, architecture=Architecture.RESNET50,
+        epochs=epochs,
+        data=DataConfig(dataset="synthetic", batch_size=8, num_workers=2,
+                        img_size=64, synthetic=True, synthetic_size=16),
+        optim=OptimConfig(learning_rate=1e-3, use_plateau_scheduler=True),
+        runtime=RuntimeConfig(compute_dtype="float32", log_every=1),
+        ckpt_dir=os.path.join(tmp, "ckpt"), log_dir=os.path.join(tmp, "logs"))
+
+
+def test_guard_latches_sigterm_and_restores_handler():
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert not guard.should_stop
+        os.kill(os.getpid(), signal.SIGTERM)
+        # the python-level handler runs between bytecodes; a no-op call forces it
+        signal.getsignal(signal.SIGTERM)
+        assert guard.should_stop
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_trainer_preempt_saves_and_resumes():
+    """A signal during epoch 1 stops training at the next boundary with a
+    requeue checkpoint; a relaunched trainer resumes past the completed work
+    instead of restarting, while the best-val slot stays eval-loadable."""
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tiny_config(tmp)
+        trainer = build_trainer(cfg)
+
+        calls = {"n": 0}
+        orig_eval = trainer.evaluate
+
+        def eval_and_preempt(loader, epoch, split):
+            calls["n"] += 1
+            if calls["n"] == 1:     # during epoch 1's val pass
+                os.kill(os.getpid(), signal.SIGTERM)
+            return orig_eval(loader, epoch, split)
+
+        trainer.evaluate = eval_and_preempt
+        with pytest.raises(Preempted):
+            trainer.fit()
+        assert trainer.preempt_ckpt.exists()
+
+        trainer2 = build_trainer(cfg)
+        trainer2.maybe_resume()
+        assert trainer2.start_epoch == 2          # epoch 1 complete
+        assert trainer2.best_val is not None
+
+        # relaunch-to-completion: the supervisor's re-exec of the same command
+        trainer3 = build_trainer(cfg)
+        best = trainer3.fit()
+        assert best is not None
+        assert trainer3.ckpt.exists()
+
+    assert REQUEUE_EXIT_CODE == 42
