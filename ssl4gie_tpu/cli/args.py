@@ -52,6 +52,12 @@ def add_train(p: argparse.ArgumentParser):
                    dest="accum_iter")
     p.add_argument("--layer-decay", type=float, default=None, dest="layer_decay",
                    help="BEiT layer-wise LR decay factor (ViT only)")
+    p.add_argument("--mixup", type=float, default=0.0,
+                   help="mixup alpha (classification; MAE finetune used 0.8)")
+    p.add_argument("--cutmix", type=float, default=0.0,
+                   help="cutmix alpha (classification; MAE finetune used 1.0)")
+    p.add_argument("--smoothing", type=float, default=0.0, dest="label_smoothing",
+                   help="label smoothing (classification; MAE finetune used 0.1)")
     p.add_argument("--ckpt-dir", type=str, default="Trained models", dest="ckpt_dir")
 
 
@@ -77,7 +83,10 @@ def to_train_config(args) -> TrainConfig:
             use_plateau_scheduler=getattr(args, "lrs", "true") == "true",
             min_lr=getattr(args, "lrs_min", 1e-6),
             accum_steps=getattr(args, "accum_iter", 1),
-            layer_decay=getattr(args, "layer_decay", None)),
+            layer_decay=getattr(args, "layer_decay", None),
+            mixup=getattr(args, "mixup", 0.0),
+            cutmix=getattr(args, "cutmix", 0.0),
+            label_smoothing=getattr(args, "label_smoothing", 0.0)),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype),
         ckpt_dir=getattr(args, "ckpt_dir", "Trained models"),
         log_dir=getattr(args, "ckpt_dir", "Trained models"),

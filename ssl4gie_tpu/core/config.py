@@ -87,6 +87,11 @@ class OptimConfig:
     accum_steps: int = 1               # detection --accum_iter
     grad_clip: Optional[float] = None
     layer_decay: Optional[float] = None  # BEiT layer-wise LR decay (mae/util/lr_decay.py)
+    # MAE supervised-finetune recipe extras (`main_finetune.py:219-226`); the
+    # SSL4GIE GIE tasks leave them off (0.0 = disabled)
+    mixup: float = 0.0                 # --mixup alpha (MAE default 0.8)
+    cutmix: float = 0.0                # --cutmix alpha (MAE default 1.0)
+    label_smoothing: float = 0.0       # --smoothing (MAE default 0.1)
     # torch AdamW defaults that the reference inherits:
     b1: float = 0.9
     b2: float = 0.999

@@ -44,6 +44,10 @@ class TaskDefinition:
     select_mode: str = "max"            # plateau/selection direction
     has_dropout: bool = False
     train_arg_via_kwarg: bool = True
+    # optional train-time target/image mixer applied after the augmentation
+    # ((key, img, targets) -> (img, targets)); classification mixup/cutmix
+    # (`Models/mae/main_finetune.py:219-226`)
+    mixup_fn: Optional[Callable] = None
 
 
 def make_train_step(task: TaskDefinition, accum_steps: int = 1):
@@ -183,11 +187,17 @@ class Trainer:
                 return {**batch, "image": img}
         tgt = batch.get(self.task.target_key) \
             if self.task.target_key in ("mask", "depth") else None
-        img, tgt = augment_train_batch(key, batch["image"], tgt,
+        kaug, kmix = jax.random.split(key)
+        img, tgt = augment_train_batch(kaug, batch["image"], tgt,
                                        mode=self.task.aug_mode)
         out = dict(batch, image=img)
         if tgt is not None:
             out[self.task.target_key] = tgt
+        if self.task.mixup_fn is not None:
+            img, mixed_tgt = self.task.mixup_fn(kmix, out["image"],
+                                                out[self.task.target_key])
+            out["image"] = img
+            out[self.task.target_key] = mixed_tgt
         return out
 
     def train_epoch(self, epoch: int, profile_dir: Optional[str] = None):

@@ -339,6 +339,56 @@ def random_affine(key, img, target=None, *, degrees=180.0, translate_frac=0.125,
     return out_img, out_tgt
 
 
+# ---------------------------------------------------------------- mixup/cutmix
+
+def mixup_cutmix(key, img, soft_targets, *, mixup_alpha: float = 0.8,
+                 cutmix_alpha: float = 1.0, switch_prob: float = 0.5):
+    """Batch-mode Mixup/CutMix like timm's `Mixup(mode='batch')`
+    (`Models/mae/main_finetune.py:219-226`): one lambda per batch, each sample
+    mixed with its reverse-order partner; a coin flip picks mixup vs cutmix.
+    CutMix pastes a centered-random box from the partner and corrects lambda to
+    the exact area ratio. img (B,H,W,C) float, soft_targets (B,n) float.
+    Fully on-device and branchless (both variants are cheap selects)."""
+    B, H, W, _ = img.shape
+    k_lam_m, k_lam_c, k_switch, k_y, k_x = jax.random.split(key, 5)
+    flip = lambda t: t[::-1]
+
+    use_cutmix = (cutmix_alpha > 0) and (
+        mixup_alpha <= 0 or jax.random.uniform(k_switch, ()) < switch_prob)
+
+    def apply_mixup(_):
+        lam = jax.random.beta(k_lam_m, mixup_alpha, mixup_alpha) \
+            if mixup_alpha > 0 else jnp.float32(1.0)
+        mixed = lam * img + (1 - lam) * flip(img)
+        return mixed, lam.astype(jnp.float32)
+
+    def apply_cutmix(_):
+        lam0 = jax.random.beta(k_lam_c, cutmix_alpha, cutmix_alpha) \
+            if cutmix_alpha > 0 else jnp.float32(1.0)
+        ratio = jnp.sqrt(1.0 - lam0)
+        cut_h = (H * ratio).astype(jnp.int32)
+        cut_w = (W * ratio).astype(jnp.int32)
+        cy = jax.random.randint(k_y, (), 0, H)
+        cx = jax.random.randint(k_x, (), 0, W)
+        y0 = jnp.clip(cy - cut_h // 2, 0, H)
+        y1 = jnp.clip(cy + cut_h // 2, 0, H)
+        x0 = jnp.clip(cx - cut_w // 2, 0, W)
+        x1 = jnp.clip(cx + cut_w // 2, 0, W)
+        yy = jnp.arange(H)[:, None]
+        xx = jnp.arange(W)[None, :]
+        box = ((yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1))[None, :, :, None]
+        mixed = jnp.where(box, flip(img), img)
+        lam = 1.0 - ((y1 - y0) * (x1 - x0)) / jnp.float32(H * W)
+        return mixed, lam.astype(jnp.float32)
+
+    if isinstance(use_cutmix, bool):
+        mixed, lam = (apply_cutmix if use_cutmix else apply_mixup)(None)
+    else:
+        mixed, lam = jax.lax.cond(use_cutmix, apply_cutmix, apply_mixup, None)
+    targets = lam * soft_targets + (1 - lam) * flip(soft_targets)
+    return mixed, targets
+
+
 # ---------------------------------------------------------------- pipelines
 
 @functools.partial(jax.jit, static_argnames=("mode",))

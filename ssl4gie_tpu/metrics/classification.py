@@ -55,3 +55,31 @@ def mean_recall(preds, targets, n_class: int, smooth: float = SMOOTH):
 
 def accuracy(preds, targets):
     return jnp.mean((preds.reshape(-1) == targets.reshape(-1)).astype(jnp.float32))
+
+
+def smooth_one_hot(labels, n_class: int, smoothing: float = 0.0):
+    """Label-smoothed one-hot targets (timm LabelSmoothingCrossEntropy /
+    Mixup target transform, used by `Models/mae/main_finetune.py:219-226`)."""
+    off = smoothing / n_class
+    on = 1.0 - smoothing + off
+    return jnp.full((labels.shape[0], n_class), off, jnp.float32).at[
+        jnp.arange(labels.shape[0]), labels].set(on)
+
+
+def soft_target_cross_entropy(logits, soft_targets):
+    """timm SoftTargetCrossEntropy: mean over batch of -sum(y * log_softmax(x))
+    (`main_finetune.py:251-254` path when mixup is active)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.sum(-soft_targets * logp, axis=-1))
+
+
+def accuracy_topk(logits, labels, ks=(1, 5)):
+    """timm-style accuracy@k in percent (`engine_finetune.py:98-130` eval)."""
+    n_class = logits.shape[-1]
+    order = jnp.argsort(logits, axis=-1)[:, ::-1]
+    out = []
+    for k in ks:
+        k = min(k, n_class)
+        hit = jnp.any(order[:, :k] == labels[:, None], axis=1)
+        out.append(100.0 * jnp.mean(hit.astype(jnp.float32)))
+    return tuple(out)

@@ -72,10 +72,36 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
     if cfg.task == Task.CLASSIFICATION:
         n_class = extras["n_class"]
         weights = jnp.asarray(extras["class_weights"], jnp.float32)
-        loss_fn = functools.partial(cls_metrics.weighted_cross_entropy,
-                                    class_weights=weights)
         finalize = lambda preds, targets: cls_metrics.mean_f1(
             jnp.asarray(preds), jnp.asarray(targets), n_class)
+        o = cfg.optim
+        if o.mixup > 0 or o.cutmix > 0 or o.label_smoothing > 0:
+            # MAE supervised-finetune recipe (`main_finetune.py:219-226`,
+            # `:251-254`): smoothed/soft targets + mixup/cutmix after the
+            # standard augmentation; soft-target CE replaces weighted CE.
+            # Train-time labels become (B, n_class) soft targets; eval keeps
+            # int labels + argmax meanF1.
+            from ssl4gie_tpu.data.augment import mixup_cutmix
+            import jax as _jax
+
+            @_jax.jit
+            def mixer(key, img, labels):
+                soft = cls_metrics.smooth_one_hot(labels, n_class,
+                                                  o.label_smoothing)
+                if o.mixup > 0 or o.cutmix > 0:
+                    return mixup_cutmix(key, img, soft, mixup_alpha=o.mixup,
+                                        cutmix_alpha=o.cutmix)
+                return img, soft
+
+            td = TaskDefinition(
+                name="classification", aug_mode="classification",
+                target_key="label",
+                loss_fn=cls_metrics.soft_target_cross_entropy,
+                eval_metric_fn=None, eval_kind="accumulate_preds",
+                select_mode="max", mixup_fn=mixer)
+            return td, finalize
+        loss_fn = functools.partial(cls_metrics.weighted_cross_entropy,
+                                    class_weights=weights)
         td = TaskDefinition(
             name="classification", aug_mode="classification", target_key="label",
             loss_fn=lambda logits, labels: loss_fn(logits, labels),
