@@ -288,6 +288,12 @@ def rotate_nearest_shear(img, angle_deg, fill: float = 0.0):
     alpha = jnp.tan(r / 2.0)                      # |alpha| <= tan(22.5)
     beta = -jnp.sin(r)                            # |beta|  <= sin(45)
     P = int(np.ceil(np.tan(np.pi / 8) * c)) + 1   # shear-x shift bound + 1
+
+    if jax.default_backend() == "tpu":
+        # VMEM-resident shears: same math, ~7x less HBM traffic
+        from ssl4gie_tpu.kernels.rotate import shear_rotate_pallas
+        return shear_rotate_pallas(g, alpha, beta, P, fill)
+
     Wp = W + 2 * P
     ys = jnp.arange(H, dtype=jnp.float32) - c
     s1 = jnp.round(alpha[:, None] * ys).astype(jnp.int32)            # (B, H)

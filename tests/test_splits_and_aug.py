@@ -131,3 +131,34 @@ def test_rotate_nearest_shear_matches_gather_rotation():
     ref = np.asarray(affine_sample(smooth, m, fill=0.0, mode="nearest"))
     out = np.asarray(rotate_nearest_shear(smooth, a, fill=0.0))
     assert np.percentile(np.abs(ref - out), 95) < 0.15
+
+
+def test_shear_rotate_pallas_matches_xla_path():
+    """The VMEM shear kernel is element-exact vs the XLA roll/select path
+    (same binary-decomposed shifts, same masks)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ssl4gie_tpu.data.augment import rotate_nearest_shear
+    from ssl4gie_tpu.kernels.rotate import shear_rotate_pallas
+
+    rng = np.random.default_rng(3)
+    B, H = 4, 64
+    img = jnp.asarray(rng.random((B, H, H, 3)).astype(np.float32))
+    a = jnp.asarray(rng.uniform(-180, 180, B), jnp.float32)
+    ref = rotate_nearest_shear(img, a, fill=0.0)      # XLA path on CPU
+
+    # reproduce the rot90 fold + factors exactly as rotate_nearest_shear does
+    theta = jnp.deg2rad(a)
+    q = jnp.round(theta / (0.5 * jnp.pi)).astype(jnp.int32)
+    r = theta - q.astype(jnp.float32) * (0.5 * jnp.pi)
+    qm = jnp.mod(q, 4)[:, None, None, None]
+    xt = jnp.swapaxes(img, 1, 2)
+    g = jnp.where(qm == 0, img,
+        jnp.where(qm == 1, xt[:, :, ::-1],
+        jnp.where(qm == 2, img[:, ::-1, ::-1], xt[:, ::-1, :])))
+    P = int(np.ceil(np.tan(np.pi / 8) * (H - 1) / 2.0)) + 1
+    with pltpu.force_tpu_interpret_mode():
+        out = shear_rotate_pallas(g, jnp.tan(r / 2.0), -jnp.sin(r), P, 0.0)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
