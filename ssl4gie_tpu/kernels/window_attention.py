@@ -29,13 +29,16 @@ def _fwd_kernel(qkv_ref, o_ref, *, num_heads, scale):
     C = C3 // 3
     Dh = C // num_heads
     N = ws * ws
-    # per-head lazy slicing keeps VMEM pressure at O(N*Dh) instead of O(N*3C) f32
+    # per-head lazy slicing keeps VMEM pressure at O(N*Dh) instead of O(N*3C);
+    # matmuls run in the input dtype (bf16) with f32 accumulation — upcasting
+    # operands first would force 4-8x slower f32 MXU passes
+    dt = qkv_ref.dtype
     for h in range(num_heads):
-        qh = qkv_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
-        kh = qkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
-        vh = qkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
+        qh = qkv_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh)
+        kh = qkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh].reshape(N, Dh)
+        vh = qkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh].reshape(N, Dh)
         s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
         oh = jnp.dot(p, vh, preferred_element_type=jnp.float32)
         o_ref[0, :, :, h * Dh:(h + 1) * Dh] = oh.reshape(ws, ws, Dh).astype(o_ref.dtype)
 
@@ -46,16 +49,18 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads, scale):
     C = C3 // 3
     Dh = C // num_heads
     N = ws * ws
+    dt = qkv_ref.dtype
     for h in range(num_heads):
-        qh = qkv_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
-        kh = qkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
-        vh = qkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
-        gh = g_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh).astype(jnp.float32)
+        qh = qkv_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh)
+        kh = qkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh].reshape(N, Dh)
+        vh = qkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh].reshape(N, Dh)
+        gh = g_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh)
         s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(s, axis=-1)
-        dv = jnp.dot(p.T, gh, preferred_element_type=jnp.float32)
+        pb = p.astype(dt)
+        dv = jnp.dot(pb.T, gh, preferred_element_type=jnp.float32)
         dp = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(dt)
         dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale
         dk = jnp.dot(ds.T, qh, preferred_element_type=jnp.float32) * scale
         dqkv_ref[0, :, :, h * Dh:(h + 1) * Dh] = \
