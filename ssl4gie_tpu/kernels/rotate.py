@@ -86,8 +86,21 @@ def _kernel(trig_ref, g_ref, o_ref, *, H, W, C, P, Wp, fill):
 
 def shear_rotate_pallas(g, alpha, beta, P: int, fill: float):
     """g: (B, H, W, C) already rot90-folded; alpha/beta: (B,) shear factors
-    (tan(r/2), -sin(r)). Returns the rotated (B, H, W, C)."""
+    (tan(r/2), -sin(r)). Returns the rotated (B, H, W, C).
+
+    The kernel keeps ~5 live f32 copies of the (H, Wp*C) canvas in VMEM; when
+    that exceeds the ~14 MB scoped budget (seg's 352px canvas with 5 stacked
+    channels) the channels are split into groups and rotated in separate
+    pallas_calls (identical shifts — the per-image trig is shared)."""
     B, H, W, C = g.shape
+    Wp_pix = -(-(W + 2 * P) // 128) * 128
+    budget = 14 * 1024 * 1024
+    per_chan = H * Wp_pix * 4 * 5
+    cg = max(1, min(C, budget // per_chan))
+    if cg < C:
+        outs = [shear_rotate_pallas(g[..., i:i + cg], alpha, beta, P, fill)
+                for i in range(0, C, cg)]
+        return jnp.concatenate(outs, axis=-1)
     # lane rolls need the flattened width to be a 128-lane multiple; since
     # gcd(C, 128) pixels must stay whole, round the padded canvas up to a
     # multiple of 128 pixels (circular wrap stays mask-safe at any Wp >= W+2P)

@@ -162,3 +162,30 @@ def test_shear_rotate_pallas_matches_xla_path():
     with pltpu.force_tpu_interpret_mode():
         out = shear_rotate_pallas(g, jnp.tan(r / 2.0), -jnp.sin(r), P, 0.0)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_fast_random_affine_matches_gather_affine():
+    """The matmul/roll factorized affine shares the gather path's parameter
+    distribution (identical key splits) and agrees up to per-pass nearest
+    rounding; identity parameters reproduce the input exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl4gie_tpu.data.augment import fast_random_affine, random_affine
+
+    rng = np.random.default_rng(0)
+    B, H = 4, 224
+    img = jnp.asarray(rng.random((B, H, H, 3)).astype(np.float32) * 2 - 1)
+    tgt = jnp.asarray((rng.random((B, H, H, 1)) > 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    oi_ref, ot_ref = random_affine(key, img, tgt)
+    oi, ot = fast_random_affine(key, img, tgt)
+    assert np.mean(np.asarray(oi_ref) == np.asarray(oi)) > 0.5
+    assert np.mean(np.asarray(ot_ref) == np.asarray(ot)) > 0.7
+    assert np.mean((np.asarray(oi_ref) == -1.0) == (np.asarray(oi) == -1.0)) > 0.99
+
+    oi, ot = fast_random_affine(key, img, tgt, degrees=0.0, translate_frac=0.0,
+                                scale_range=(1.0, 1.0), shear=0.0)
+    np.testing.assert_array_equal(np.asarray(oi), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(ot), np.asarray(tgt))
