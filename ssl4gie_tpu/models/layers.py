@@ -10,6 +10,7 @@ reshape rather than the reference's gather-permutation, static shapes throughout
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -76,6 +77,50 @@ def interpolate_pos_embed(pos_embed: jnp.ndarray, src_grid: int, dst_grid: int,
 TIMM_INIT = nn.initializers.truncated_normal(0.02)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gelu_dense(h, kernel, bias, approximate):
+    """gelu(h) @ kernel + bias with a leaner autodiff residual: only the
+    PRE-gelu activation is saved; the backward recomputes gelu(h) (elementwise)
+    instead of keeping a second (B, N, 4*dim) tensor alive. Unlike a remat
+    wrapper this leaves the forward fc1+gelu+fc2 XLA fusions untouched."""
+    g = nn.gelu(h, approximate=approximate)
+    return g @ kernel + bias
+
+
+def _gelu_dense_fwd(h, kernel, bias, approximate):
+    return _gelu_dense(h, kernel, bias, approximate), (h, kernel)
+
+
+def _gelu_dense_bwd(approximate, res, dy):
+    h, kernel = res
+    g, vjp_gelu = jax.vjp(lambda t: nn.gelu(t, approximate=approximate), h)
+    dk = jnp.einsum("...i,...o->io", g, dy).astype(kernel.dtype)
+    db = jnp.sum(dy.reshape(-1, dy.shape[-1]), axis=0)
+    dg = dy @ kernel.T
+    (dh,) = vjp_gelu(dg)
+    return dh, dk, db
+
+
+_gelu_dense.defvjp(_gelu_dense_fwd, _gelu_dense_bwd)
+
+
+class _GeluDense(nn.Module):
+    """Dense layer applied to gelu(input) via `_gelu_dense` (its param tree is
+    identical to nn.Dense so checkpoints/converters see the usual fc2)."""
+    features: int
+    approximate: bool
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = TIMM_INIT
+
+    @nn.compact
+    def __call__(self, h):
+        kernel = self.param("kernel", self.kernel_init,
+                            (h.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return _gelu_dense(h.astype(self.dtype), kernel.astype(self.dtype),
+                           bias.astype(self.dtype), self.approximate)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -91,10 +136,10 @@ class Mlp(nn.Module):
         # one bf16 ULP (max |diff| 4.7e-4 in f32; 40% of values shift one ULP)
         # and the erf rational costs ~7 ms/step of the ViT-B v5e train step
         # (measured 982 -> 1038 img/s).
-        x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
-        x = nn.Dense(self.out_dim, dtype=self.dtype,
-                     kernel_init=self.kernel_init, name="fc2")(x)
-        return x
+        return _GeluDense(self.out_dim,
+                          approximate=self.dtype == jnp.bfloat16,
+                          dtype=self.dtype, kernel_init=self.kernel_init,
+                          name="fc2")(x)
 
 
 def plain_attention(q, k, v, scale: float):
