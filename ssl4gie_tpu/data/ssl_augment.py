@@ -43,52 +43,33 @@ def random_resized_crop(key, img, out_size: int, scale=(0.2, 1.0),
     x0 = jax.random.uniform(kx, (B,)) * (W - w)
     y0 = jax.random.uniform(ky, (B,)) * (H - h)
 
-    # map output pixel (centered coords) -> source pixel: scale + translate
+    # map output pixel -> source pixel: scale + translate (src = x0 + xs * sx)
     sx = w / out_size
     sy = h / out_size
-    # centered-output coords: src = M @ dst + t with dst centered at (out-1)/2
-    # src_x = x0 + (dst_x_cent + (out-1)/2) * sx ; express in affine_sample's
-    # convention (centered both sides): m02 = x0 + (out-1)/2*sx - (W-1)/2
-    zeros = jnp.zeros((B,))
-    m = jnp.stack([sx, zeros, x0 + (out_size - 1) / 2.0 * sx - (W - 1) / 2.0,
-                   zeros, sy, y0 + (out_size - 1) / 2.0 * sy - (H - 1) / 2.0],
-                  axis=-1)
-    # affine_sample generates the output grid from img's own H/W; we need an
-    # out_size grid — pad/crop handled by sampling directly:
-    return _affine_sample_sized(img, m, out_size, mode="bilinear")
+    # axis-aligned scale+translate is separable: two per-image two-tap interp
+    # matmuls on the MXU replace the 4-tap take_along_axis gather (~11 ns per
+    # gathered element on TPU); identical bilinear math
+    xs = jnp.arange(out_size, dtype=jnp.float32)
+    src_x = x0[:, None] + xs[None, :] * sx[:, None]          # (B, out)
+    src_y = y0[:, None] + xs[None, :] * sy[:, None]
+    mx = _interp_matrix(src_x, W, img.dtype)
+    my = _interp_matrix(src_y, H, img.dtype)
+    out = jnp.einsum("bhwc,bxw->bhxc", img, mx)
+    return jnp.einsum("bhwc,byh->bywc", out, my)
 
 
-def _affine_sample_sized(img, matrix, out_size: int, mode: str = "bilinear"):
-    """Like augment.affine_sample but with an explicit output grid size and
-    edge-clamped sampling (crops are always inside the image)."""
-    B, H, W, C = img.shape
-    ys = jnp.arange(out_size, dtype=jnp.float32) - (out_size - 1) / 2.0
-    xs = jnp.arange(out_size, dtype=jnp.float32) - (out_size - 1) / 2.0
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    m = matrix.reshape(B, 2, 3)
-    src_x = (m[:, 0, 0, None, None] * gx + m[:, 0, 1, None, None] * gy
-             + m[:, 0, 2, None, None]) + (W - 1) / 2.0
-    src_y = (m[:, 1, 0, None, None] * gx + m[:, 1, 1, None, None] * gy
-             + m[:, 1, 2, None, None]) + (H - 1) / 2.0
-    src_x = jnp.clip(src_x, 0.0, W - 1.0)
-    src_y = jnp.clip(src_y, 0.0, H - 1.0)
-
-    x0 = jnp.floor(src_x)
-    y0 = jnp.floor(src_y)
-    wx = (src_x - x0)[..., None]
-    wy = (src_y - y0)[..., None]
-
-    def tap(dy, dx):
-        ix = jnp.clip(x0.astype(jnp.int32) + dx, 0, W - 1)
-        iy = jnp.clip(y0.astype(jnp.int32) + dy, 0, H - 1)
-        lin = (iy * W + ix).reshape(B, -1)
-        flat = img.reshape(B, H * W, C)
-        return jnp.take_along_axis(flat, lin[..., None], axis=1).reshape(
-            B, out_size, out_size, C)
-
-    top = tap(0, 0) * (1 - wx) + tap(0, 1) * wx
-    bot = tap(1, 0) * (1 - wx) + tap(1, 1) * wx
-    return top * (1 - wy) + bot * wy
+def _interp_matrix(src, n_src: int, dtype):
+    """(B, L_out) float source coords -> (B, L_out, n_src) bilinear two-tap
+    rows (edge-clamped; rows always sum to 1)."""
+    src = jnp.clip(src, 0.0, n_src - 1.0)
+    i0 = jnp.floor(src)
+    f = src - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n_src - 1)
+    base = jnp.arange(n_src, dtype=jnp.int32)
+    m = ((i0[..., None] == base) * (1.0 - f)[..., None]
+         + (i1[..., None] == base) * f[..., None])
+    return m.astype(dtype)
 
 
 def _masked(key, img, transformed, p: float):

@@ -43,6 +43,17 @@ def unpatchify(x, p: int = 16):
     return x.reshape(B, h * p, w * p, C)
 
 
+def _permute_tokens(x, ids):
+    """x (B, L, D) -> x[ids] (B, K, D) via a permutation one-hot matmul.
+
+    TPU gathers cost ~11 ns/element (the take_along_axis version made the MAE
+    train step gather-bound: 237 img/s); a (B, K, L) one-hot contraction runs
+    on the MXU and its backward is another matmul instead of a scatter."""
+    L = x.shape[1]
+    onehot = (ids[..., None] == jnp.arange(L)[None, None, :]).astype(x.dtype)
+    return jnp.einsum("bkl,bld->bkd", onehot, x)
+
+
 def random_masking(rng, x, mask_ratio: float):
     """Per-sample shuffle by argsort of uniform noise (`models_mae.py:123-148`).
     Returns (x_masked, mask, ids_restore); mask: 0=keep, 1=removed."""
@@ -52,9 +63,9 @@ def random_masking(rng, x, mask_ratio: float):
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
-    x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+    x_masked = _permute_tokens(x, ids_keep)
     mask = jnp.ones((B, L), x.dtype).at[:, :len_keep].set(0.0)
-    mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    mask = jnp.take_along_axis(mask, ids_restore, axis=1)   # (B, L) scalar map
     return x_masked, mask, ids_restore
 
 
@@ -112,7 +123,7 @@ class MAE(nn.Module):
         mask_tokens = jnp.broadcast_to(mask_token.astype(self.dtype),
                                        (B, n_masked, self.decoder_embed_dim))
         y_ = jnp.concatenate([y[:, 1:], mask_tokens], axis=1)
-        y_ = jnp.take_along_axis(y_, ids_restore[..., None], axis=1)   # unshuffle
+        y_ = _permute_tokens(y_, ids_restore)                          # unshuffle
         y = jnp.concatenate([y[:, :1], y_], axis=1)
         y = y + dec_pos_embed.astype(self.dtype)
         for i in range(self.decoder_depth):

@@ -132,3 +132,43 @@ def test_moco_pretrain_loop():
         from ssl4gie_tpu.ssl.pretrain import run_pretraining
         path = run_pretraining(cfg)
         assert os.path.isdir(path)
+
+
+def test_random_resized_crop_matmul_bilinear_exact():
+    """The separable interp-matmul crop equals direct bilinear sampling at the
+    same source coordinates (numpy reference)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl4gie_tpu.data.ssl_augment import random_resized_crop
+
+    rng = np.random.default_rng(0)
+    B, H, out = 3, 32, 16
+    img = jnp.asarray(rng.random((B, H, H, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    got = np.asarray(random_resized_crop(key, img, out))
+
+    # recompute the crop params exactly as the function does
+    ka, kr, kx, ky = jax.random.split(key, 4)
+    area = np.asarray(jax.random.uniform(ka, (B,), minval=0.2, maxval=1.0)) * H * H
+    r = np.exp(np.asarray(jax.random.uniform(
+        kr, (B,), minval=np.log(3 / 4), maxval=np.log(4 / 3))))
+    w = np.clip(np.sqrt(area * r), 1.0, H)
+    h = np.clip(np.sqrt(area / r), 1.0, H)
+    x0 = np.asarray(jax.random.uniform(kx, (B,))) * (H - w)
+    y0 = np.asarray(jax.random.uniform(ky, (B,))) * (H - h)
+
+    im = np.asarray(img)
+    ref = np.zeros_like(got)
+    for b in range(B):
+        for yo in range(out):
+            for xo in range(out):
+                sxc = min(max(x0[b] + xo * w[b] / out, 0), H - 1)
+                syc = min(max(y0[b] + yo * h[b] / out, 0), H - 1)
+                xi, yi = int(sxc), int(syc)
+                fx, fy = sxc - xi, syc - yi
+                xi1, yi1 = min(xi + 1, H - 1), min(yi + 1, H - 1)
+                top = im[b, yi, xi] * (1 - fx) + im[b, yi, xi1] * fx
+                bot = im[b, yi1, xi] * (1 - fx) + im[b, yi1, xi1] * fx
+                ref[b, yo, xo] = top * (1 - fy) + bot * fy
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
