@@ -16,7 +16,6 @@ neighbor like torchvision's tensor-path default (`TF.affine` interpolation=NEARE
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
