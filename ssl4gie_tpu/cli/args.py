@@ -33,10 +33,12 @@ def add_common(p: argparse.ArgumentParser):
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic data (tests/benches, no files needed)")
     p.add_argument("--out-token", type=str, default="cls",
-                   choices=["cls", "spatial"], dest="out_token")
+                   choices=["cls", "spatial", "global_pool"], dest="out_token")
     p.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"], dest="compute_dtype")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also emit tfevents scalars (core.tb, no TF needed)")
 
 
 def add_train(p: argparse.ArgumentParser):
@@ -87,7 +89,8 @@ def to_train_config(args) -> TrainConfig:
             mixup=getattr(args, "mixup", 0.0),
             cutmix=getattr(args, "cutmix", 0.0),
             label_smoothing=getattr(args, "label_smoothing", 0.0)),
-        runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype),
+        runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
+                              tensorboard=getattr(args, "tensorboard", False)),
         ckpt_dir=getattr(args, "ckpt_dir", "Trained models"),
         log_dir=getattr(args, "ckpt_dir", "Trained models"),
     )

@@ -15,7 +15,8 @@ def main():
     p.add_argument("--framework", type=str, required=True,
                    choices=["mae", "mocov3"])
     p.add_argument("--architecture", "--arch", type=str, default="vit_b",
-                   choices=["resnet50", "vit_b"], dest="architecture")
+                   choices=["resnet50", "vit_b", "vit_s", "vit_conv_s",
+                            "vit_conv_b"], dest="architecture")
     p.add_argument("--data-root", type=str, default="", dest="data_root")
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--warmup-epochs", type=int, default=40, dest="warmup_epochs")
@@ -39,13 +40,16 @@ def main():
 
     fw = SSLFramework(args.framework)
     arch = Architecture(args.architecture)
+    if fw == SSLFramework.MAE and arch != Architecture.VIT_B:
+        p.error("MAE pretraining is ViT-B only (the MoCo ViT variants are "
+                "mocov3-specific, `Models/moco_v3/vits.py`)")
     # reference defaults: MAE blr 1.5e-4 wd 0.05 (main_pretrain.py); MoCo ViT AdamW
     # lr 1.5e-4 wd 0.1, MoCo RN50 LARS lr 0.3 wd 1.5e-6 (main_moco.py:81-104)
     if fw == SSLFramework.MAE:
         blr = args.blr or 1.5e-4
         wd = args.weight_decay if args.weight_decay is not None else 0.05
         opt = "adamw"
-    elif arch == Architecture.VIT_B:
+    elif arch != Architecture.RESNET50:     # all MoCo ViT variants: AdamW recipe
         blr = args.blr or 1.5e-4
         wd = args.weight_decay if args.weight_decay is not None else 0.1
         opt = args.optimizer or "adamw"

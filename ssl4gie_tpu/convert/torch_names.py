@@ -66,6 +66,19 @@ def vit_torch_to_flax(sd: Dict, depth: int = 12) -> Tuple[Dict, int]:
     if "patch_embed.proj.weight" in sd:
         put(("patch_embed", "proj", "kernel"), conv_w(sd["patch_embed.proj.weight"]))
         put(("patch_embed", "proj", "bias"), _t(sd["patch_embed.proj.bias"]))
+    elif "patch_embed.proj.0.weight" in sd:
+        # MoCo v3 ConvStem (`vits.py:75-115`): nn.Sequential indices
+        # 0/3/6/9 = 3x3 convs, 1/4/7/10 = BNs, 12 = the 1x1 projection
+        for l, idx in enumerate((0, 3, 6, 9)):
+            put(("patch_embed", f"conv{l}", "kernel"),
+                conv_w(sd[f"patch_embed.proj.{idx}.weight"]))
+            put(("patch_embed", f"bn{l}", "scale"),
+                _t(sd[f"patch_embed.proj.{idx + 1}.weight"]))
+            put(("patch_embed", f"bn{l}", "bias"),
+                _t(sd[f"patch_embed.proj.{idx + 1}.bias"]))
+        put(("patch_embed", "proj", "kernel"),
+            conv_w(sd["patch_embed.proj.12.weight"]))
+        put(("patch_embed", "proj", "bias"), _t(sd["patch_embed.proj.12.bias"]))
     if "cls_token" in sd:
         put(("cls_token",), _t(sd["cls_token"]))
     if "pos_embed" in sd:
@@ -90,8 +103,28 @@ def vit_torch_to_flax(sd: Dict, depth: int = 12) -> Tuple[Dict, int]:
     if "norm.weight" in sd:
         put(("norm", "scale"), _t(sd["norm.weight"]))
         put(("norm", "bias"), _t(sd["norm.bias"]))
-    # MAE stores the final encoder norm as 'norm'; fc_norm variants ignored.
+    if "fc_norm.weight" in sd:
+        # MAE finetune global_pool variant (`models_vit.py:28-31`): the final
+        # norm is replaced by fc_norm applied after pre-norm pooling
+        put(("fc_norm", "scale"), _t(sd["fc_norm.weight"]))
+        put(("fc_norm", "bias"), _t(sd["fc_norm.bias"]))
     return p, n
+
+
+def convstem_batch_stats(sd: Dict) -> Tuple[Dict, int]:
+    """Running mean/var of the ConvStem BNs -> batch_stats for
+    models.layers.ConvStem (companion to the param conversion above)."""
+    stats: Dict = {}
+    n = 0
+    for l, idx in enumerate((1, 4, 7, 10)):
+        k = f"patch_embed.proj.{idx}"
+        if k + ".running_mean" not in sd:
+            continue
+        d = stats.setdefault("patch_embed", {}).setdefault(f"bn{l}", {})
+        d["mean"] = _t(sd[k + ".running_mean"])
+        d["var"] = _t(sd[k + ".running_var"])
+        n += 2
+    return stats, n
 
 
 def vit_flax_from_augreg_npz(npz) -> Tuple[Dict, int]:

@@ -42,6 +42,12 @@ class CheckpointManager:
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
 
+    def delete(self) -> None:
+        """Remove the slot (e.g. a stale .preempt sibling once surpassed)."""
+        if os.path.isdir(self.path):
+            import shutil
+            shutil.rmtree(self.path)
+
     def restore(self, abstract_tree: Optional[Any] = None) -> Any:
         if abstract_tree is not None:
             return self._ckptr.restore(self.path, target=abstract_tree)

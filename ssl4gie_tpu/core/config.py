@@ -16,6 +16,11 @@ from typing import Optional
 class Architecture(str, enum.Enum):
     RESNET50 = "resnet50"
     VIT_B = "vit_b"
+    # MoCo v3 pretrain-only variants (`Models/moco_v3/vits.py:117-144`);
+    # downstream SSL4GIE tasks take only vit_b / resnet50 backbones
+    VIT_S = "vit_s"
+    VIT_CONV_S = "vit_conv_s"
+    VIT_CONV_B = "vit_conv_b"
 
 
 class Pretraining(str, enum.Enum):
@@ -46,6 +51,10 @@ _DENSE_TASKS = {Task.SEGMENTATION, Task.DEPTH}
 
 def validate_combination(task: Task, arch: Architecture, pretraining: Pretraining,
                          framework: Optional[SSLFramework]) -> None:
+    if arch not in (Architecture.RESNET50, Architecture.VIT_B):
+        raise ValueError(
+            f"architecture={arch.value} is MoCo-v3-pretrain-only; downstream "
+            "tasks support resnet50 / vit_b")
     if pretraining in (Pretraining.HYPERKVASIR, Pretraining.IMAGENET_SELF):
         if framework is None:
             raise ValueError(
@@ -108,6 +117,7 @@ class RuntimeConfig:
     donate_state: bool = True
     log_every: int = 10
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    tensorboard: bool = False          # also emit tfevents scalars (core.tb)
 
 
 @dataclasses.dataclass
@@ -120,7 +130,8 @@ class TrainConfig:
     frozen: bool = False               # freeze encoder, train head/decoder only
     probe: bool = False                # linear-probe recipe (main_lincls/main_linprobe)
     epochs: int = 50                   # 50 cls/depth, 200 seg/det in reference
-    out_token: str = "cls"             # cls | spatial (ViT non-dense output)
+    out_token: str = "cls"             # cls | spatial | global_pool (ViT pooled output;
+    # global_pool = MAE finetune recipe: pre-norm patch mean + fc_norm)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)

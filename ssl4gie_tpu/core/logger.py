@@ -18,7 +18,8 @@ import jax
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, run_name: str, to_stdout: bool = True):
+    def __init__(self, log_dir: str, run_name: str, to_stdout: bool = True,
+                 tb: bool = False):
         self.primary = jax.process_index() == 0
         self.to_stdout = to_stdout
         self.txt_path = os.path.join(log_dir, f"{run_name}.txt")
@@ -26,6 +27,14 @@ class MetricsLogger:
         if self.primary:
             os.makedirs(log_dir, exist_ok=True)
         self._t0 = time.time()
+        # optional TensorBoard sink (the reference's SummaryWriter scalars,
+        # `main_pretrain.py:237-239`, `main_moco.py:233`) via the
+        # dependency-free core.tb writer
+        self._tb = None
+        if tb and self.primary:
+            from ssl4gie_tpu.core.tb import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb", run_name))
+        self._tb_step = 0
 
     def log(self, payload: Dict[str, Any], echo: Optional[str] = None) -> None:
         if not self.primary:
@@ -33,6 +42,14 @@ class MetricsLogger:
         payload = dict(payload, wall_s=round(time.time() - self._t0, 3))
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(payload, default=float) + "\n")
+        if self._tb is not None:
+            self._tb_step = int(payload.get("step", payload.get(
+                "epoch", self._tb_step + 1)))
+            for k, v in payload.items():
+                if k not in ("step", "epoch", "wall_s") and isinstance(
+                        v, (int, float)):
+                    self._tb.add_scalar(k, float(v), self._tb_step)
+            self._tb.flush()
         line = echo if echo is not None else " ".join(
             f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in payload.items())

@@ -166,6 +166,11 @@ class Trainer:
         self.preempt_ckpt = ckpt_lib.CheckpointManager(
             _os.path.dirname(ckpt.path), _os.path.basename(ckpt.path) + ".preempt")
         self._guard: Optional[PreemptionGuard] = None
+        # host-side state snapshot taken at each epoch BOUNDARY; a mid-epoch
+        # preemption saves this (not the in-flight, partially-updated state)
+        # so the requeued run replays the interrupted epoch from clean state
+        self._boundary_snapshot = None
+        self._preempt_slot_epoch: Optional[int] = None
 
     # -------------------------------------------------------------- epochs
 
@@ -297,13 +302,14 @@ class Trainer:
         if self.ckpt.exists():
             src = self.ckpt
         if self.preempt_ckpt.exists():
+            pre = self.preempt_ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+            self._preempt_slot_epoch = int(pre["meta"]["epoch"])
             if src is None:
                 src = self.preempt_ckpt
             else:
                 best = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
-                pre = self.preempt_ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
                 src = (self.preempt_ckpt
-                       if int(pre["meta"]["epoch"]) > int(best["meta"]["epoch"])
+                       if self._preempt_slot_epoch > int(best["meta"]["epoch"])
                        else self.ckpt)
         if src is None:
             return
@@ -341,15 +347,21 @@ class Trainer:
         """Poll the signal latch; save the requeue state and stop if set.
 
         Epoch granularity: the saved meta marks `epoch` epochs COMPLETE and the
-        relaunch restarts at epoch+1. A mid-epoch signal saves the in-flight
-        params with the last completed epoch's marker, so the interrupted
-        epoch re-runs on top of them — the same policy as submitit requeueing
-        from the last periodic checkpoint (`submitit_pretrain.py:60-70`)."""
+        relaunch restarts at epoch+1. A mid-epoch signal saves the snapshot
+        taken at the last epoch BOUNDARY (not the in-flight params), so the
+        interrupted epoch replays from clean state and no batch is applied
+        twice — the same policy as submitit requeueing from the last periodic
+        checkpoint (`submitit_pretrain.py:60-70`)."""
         if self._guard is None or not self._guard.should_stop:
             return
         if ckpt_lib.is_primary():
-            self.preempt_ckpt.save(self._ckpt_tree(
-                epoch, self.best_val if self.best_val is not None else 0.0, 0.0))
+            tree = self._boundary_snapshot
+            if tree is None:
+                tree = self._ckpt_tree(
+                    epoch, self.best_val if self.best_val is not None else 0.0,
+                    0.0)
+            self.preempt_ckpt.save(tree)
+            self._preempt_slot_epoch = int(tree["meta"]["epoch"])
         self.logger.log({"preempted_after_epoch": epoch},
                         echo=f"preemption signal — state saved after epoch "
                              f"{epoch}, exiting for requeue")
@@ -357,6 +369,11 @@ class Trainer:
 
     def _fit(self, profile_dir: Optional[str] = None):
         for epoch in range(self.start_epoch, self.epochs + 1):
+            # boundary snapshot: the state with `epoch-1` epochs complete —
+            # what a mid-epoch preemption saves for the requeue
+            self._boundary_snapshot = self._ckpt_tree(
+                epoch - 1, self.best_val if self.best_val is not None else 0.0,
+                0.0)
             self._check_preempted(epoch - 1)
             self.train_epoch(epoch, profile_dir if epoch == self.start_epoch
                              else None)
@@ -378,4 +395,11 @@ class Trainer:
                     self.ckpt.save(self._ckpt_tree(epoch, val_perf, test_perf))
                 self.logger.log({"epoch": epoch, "new_best_val": val_perf,
                                  "test_at_best": test_perf})
+            # drop a stale .preempt slot once this run has trained past it, so
+            # a later rerun can never prefer it over the best-val slot
+            if (self._preempt_slot_epoch is not None
+                    and epoch > self._preempt_slot_epoch):
+                if ckpt_lib.is_primary():
+                    self.preempt_ckpt.delete()
+                self._preempt_slot_epoch = None
         return self.best_val

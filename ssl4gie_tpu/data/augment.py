@@ -384,9 +384,17 @@ def fast_random_affine(key, img, target=None, *, degrees=180.0,
     parts.append(jnp.ones((B, H, W, 1), img.dtype))
     x = jnp.concatenate(parts, axis=-1)
 
-    # pass 1: t1(p) = in(p * inv_s + T) on a 512 canvas (half extent covers the
-    # worst-case read of the later shear pass: 176 + tan(22.5)*176 < 256)
-    S1 = 512
+    # Canvas sizes derive from H (512/352/80 at the reference's 224 px).
+    # S2 keeps the validated >=1.571*H margin so the 3-shear rotation's reads
+    # stay inside the canvas; S1 covers pass 2's worst-case column reads
+    # [off-K, off+S2+K) because S1 >= S2 + 2K (so off=(S1-S2)//2 >= K).
+    S2 = int(np.ceil(352 * H / 224 / 8.0)) * 8
+    c2 = (S2 - 1) / 2.0
+    K = int(np.ceil(np.tan(np.pi / 8) * c2)) + 1            # |k| bound
+    S1 = max(int(np.ceil(512 * H / 224 / 8.0)) * 8, S2 + 2 * K)
+
+    # pass 1: t1(p) = in(p * inv_s + T) on the S1 canvas (out-of-range reads
+    # produce exact zeros via the one-hot resample)
     c_in = (H - 1) / 2.0
     c1 = (S1 - 1) / 2.0
     grid1 = jnp.arange(S1, dtype=jnp.float32) - c1
@@ -397,15 +405,13 @@ def fast_random_affine(key, img, target=None, *, degrees=180.0,
     t1 = _one_hot_resample(x, ix, axis=2, n_src=W)
     t1 = _one_hot_resample(t1, iy, axis=1, n_src=H)         # (B, 512, 512, C+)
 
-    # pass 2: t2(p) = t1(Shx(u) p) on a 352 canvas. t2[y, x] =
-    # t1[y + 80, x + 80 + round(u * y_c)]; reads stay inside [7, 505) so no
-    # mask is needed — just a static pre-roll and the binary roll/select.
-    S2 = 352
-    off = (S1 - S2) // 2                                    # 80
-    c2 = (S2 - 1) / 2.0
+    # pass 2: t2(p) = t1(Shx(u) p) on the S2 canvas. t2[y, x] =
+    # t1[y + off, x + off + round(u * y_c)]; reads stay inside [off-K,
+    # off+S2+K) c [0, S1) so no mask is needed — just a static pre-roll and
+    # the binary roll/select.
+    off = (S1 - S2) // 2
     y2 = jnp.arange(S2, dtype=jnp.float32) - c2
     k = jnp.round(u[:, None] * y2[None, :]).astype(jnp.int32)   # (B, S2)
-    K = int(np.ceil(np.tan(np.pi / 8) * c2)) + 1            # |k| bound
     t2 = t1[:, off:off + S2]
     t2 = jnp.roll(t2, -(off - K), axis=2)
     t2 = _roll_select(t2, k + K, 2, max(1, int(np.ceil(np.log2(2 * K + 1)))),

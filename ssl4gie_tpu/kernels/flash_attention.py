@@ -66,15 +66,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, n_valid, G):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                    scale, n_valid, G):
-    # Padded key columns need no mask here: k rows beyond n_valid are zero, so
-    # their ds columns contribute nothing to ds @ k.
-    del n_valid
+    # Padded key columns MUST be masked before exponentiating, mirroring the
+    # forward: for those columns s=0 and p=exp(-lse), which overflows to inf
+    # when a row's valid logits are all below ~-87 (lse < -87) and then makes
+    # dq NaN via inf*0 against the zero-padded k (ADVICE r2).
     dt = q_ref.dtype
     for g in range(G):
         q, k, v, do = q_ref[g], k_ref[g], v_ref[g], do_ref[g]
         lse = lse_ref[g, 0][:, None]
         delta = delta_ref[g, 0][:, None]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _mask_cols(s, n_valid)
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = (p * (dp - delta) * scale).astype(dt)

@@ -271,6 +271,32 @@ class Block(nn.Module):
         return x + h
 
 
+class ConvStem(nn.Module):
+    """4-stage conv patchify for the MoCo v3 `vit_conv_*` variants
+    (`Models/moco_v3/vits.py:75-115`, after "Early Convolutions Help
+    Transformers See Better"): 4x (3x3 stride-2 conv, no bias -> BN -> ReLU)
+    with channels E/8 -> E/4 -> E/2 -> E, then a 1x1 conv projection. Total
+    stride 16, same output grid as the 16x16 PatchEmbed."""
+    embed_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # (B, H, W, 3) NHWC
+        assert self.embed_dim % 8 == 0
+        d = self.embed_dim // 8
+        for l in range(4):
+            x = nn.Conv(d, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"conv{l}")(x)
+            # torch BatchNorm2d defaults: momentum 0.1 (flax 0.9), eps 1e-5
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name=f"bn{l}")(x)
+            x = nn.relu(x)
+            d *= 2
+        x = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="proj")(x)
+        B, gh, gw, C = x.shape
+        return x.reshape(B, gh * gw, C), (gh, gw)
+
+
 class PatchEmbed(nn.Module):
     """Conv patchify (16x16 stride-16): one big MXU matmul after im2col by XLA.
     xavier-uniform over the flattened (p*p*3, D) view, like MAE/MoCo

@@ -24,8 +24,8 @@ from typing import Callable, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ssl4gie_tpu.models.layers import (Attention, Block, Mlp, PatchEmbed,
-                                       get_2d_sincos_pos_embed,
+from ssl4gie_tpu.models.layers import (Attention, Block, ConvStem, Mlp,
+                                       PatchEmbed, get_2d_sincos_pos_embed,
                                        interpolate_pos_embed)
 
 DENSE_TAPS = (2, 5, 8, 11)
@@ -41,20 +41,29 @@ class ViTBackbone(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     mode: str = "pooled"               # pooled | dense | det
-    out_token: str = "cls"             # cls | spatial (pooled mode)
+    # pooled-mode output: cls | spatial (post-norm patch mean) | global_pool
+    # (MAE finetune recipe: PRE-norm patch mean + separate fc_norm,
+    #  `Models/mae/models_vit.py:20-53` — the final `norm` is deleted there)
+    out_token: str = "cls"
     pos_embed_type: str = "learned"    # learned | sincos (MoCo v3 / MAE)
+    stem: str = "patch"                # patch | conv (MoCo v3 vit_conv_*)
     dense_taps: Sequence[int] = DENSE_TAPS
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None  # pluggable attention kernel
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train  # no dropout in the reference ViT configs
+        # `train` only drives the ConvStem BatchNorm; the reference ViT configs
+        # have no dropout.
         det = self.mode == "det"
         grid = self.img_size // self.patch_size
 
-        x, (gh, gw) = PatchEmbed(self.patch_size, self.embed_dim,
-                                 dtype=self.dtype, name="patch_embed")(x)
+        if self.stem == "conv":
+            x, (gh, gw) = ConvStem(self.embed_dim, dtype=self.dtype,
+                                   name="patch_embed")(x, train)
+        else:
+            x, (gh, gw) = PatchEmbed(self.patch_size, self.embed_dim,
+                                     dtype=self.dtype, name="patch_embed")(x)
         B, N, C = x.shape
 
         # Position embedding always stored at the pretraining grid (14x14 + cls) so
@@ -99,6 +108,13 @@ class ViTBackbone(nn.Module):
 
         if self.mode == "dense":
             return taps                      # list of (B, 1+N, C), cls included; no norm
+
+        if self.mode == "pooled" and self.out_token == "global_pool":
+            # pre-norm patch-token mean + fc_norm; the final `norm` layer is
+            # never created, matching `models_vit.py:31` (`del self.norm`)
+            x = jnp.mean(x[:, 1:], axis=1)
+            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="fc_norm")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if det:

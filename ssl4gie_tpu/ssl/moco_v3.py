@@ -54,6 +54,17 @@ class MLPHead(nn.Module):
         return x
 
 
+# MoCo v3 ViT size presets (`Models/moco_v3/vits.py:117-144`): the conv-stem
+# variants drop one transformer block ("minus one ViT block"); vit_small keeps
+# 12 heads at dim 384 (head_dim 32), unlike timm's 6-head ViT-S.
+VIT_PRESETS = {
+    "vit_b":      dict(embed_dim=768, depth=12, num_heads=12, stem="patch"),
+    "vit_s":      dict(embed_dim=384, depth=12, num_heads=12, stem="patch"),
+    "vit_conv_s": dict(embed_dim=384, depth=11, num_heads=12, stem="conv"),
+    "vit_conv_b": dict(embed_dim=768, depth=11, num_heads=12, stem="conv"),
+}
+
+
 class MoCoEncoder(nn.Module):
     """backbone + projector. Same param naming as the finetune backbones so the
     pretrained encoder transfers 1:1 (projector dropped, like `convert_to_deit`).
@@ -64,16 +75,17 @@ class MoCoEncoder(nn.Module):
     those grads like the reference (`Models/models.py:510-511`) simply by training
     them.
     """
-    arch: str = "vit_b"               # vit_b | resnet50
+    arch: str = "vit_b"               # vit_b | vit_s | vit_conv_s | vit_conv_b | resnet50
     dim: int = 256
     mlp_dim: int = 4096
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.arch == "vit_b":
+        if self.arch in VIT_PRESETS:
             feat = ViTBackbone(mode="pooled", out_token="cls",
                                pos_embed_type="sincos", dtype=self.dtype,
+                               **VIT_PRESETS[self.arch],
                                name="backbone")(x, train)
             proj = MLPHead(3, self.mlp_dim, self.dim, last_bn=True,
                            dtype=self.dtype, name="projector")

@@ -89,7 +89,8 @@ def discover_unlabeled(root: str):
 def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int] = None):
     mesh = make_mesh()
     logger = MetricsLogger(cfg.ckpt_dir, f"pretrain_{cfg.framework.value}_"
-                                         f"{cfg.architecture.value}")
+                                         f"{cfg.architecture.value}",
+                           tb=cfg.runtime.tensorboard)
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
 
     if cfg.data.synthetic:
@@ -107,6 +108,13 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
 
     ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir,
                                       f"{cfg.framework.value}_{cfg.architecture.value}")
+    # full-state sibling slot for requeue/resume: the export slot above keeps
+    # only the finetune-consumable encoder params, the resume slot carries the
+    # complete protocol — MAE {params, opt_state, step, epoch}
+    # (`Models/mae/util/misc.py:295-329`), MoCo {params (encoder+predictor),
+    # momentum params/stats, opt_state, step, epoch} (`main_moco.py:310-316`)
+    resume_ckpt = ckpt_lib.CheckpointManager(
+        cfg.ckpt_dir, f"{cfg.framework.value}_{cfg.architecture.value}.resume")
 
     if cfg.framework == SSLFramework.MAE:
         model = MAE(img_size=cfg.img_size, norm_pix_loss=cfg.norm_pix_loss,
@@ -144,15 +152,28 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
             tree = {"params": ckpt_lib.host_tree(state["params"]),
                     "meta": {"epoch": epoch}}
             ckpt.save(tree)
+            resume_ckpt.save({"state": ckpt_lib.host_tree(state),
+                              "meta": {"epoch": epoch}})
+
+        start_epoch = 1
+        if resume_ckpt.exists():
+            restored = resume_ckpt.restore(
+                {"state": ckpt_lib.host_tree(state), "meta": {"epoch": 0}})
+            state = jax.device_put(restored["state"], replicated(mesh))
+            start_epoch = int(restored["meta"]["epoch"]) + 1
+            logger.log({"resumed_from_epoch": start_epoch - 1},
+                       echo=f"resuming MAE pretraining at epoch {start_epoch}")
 
         run_loop(cfg, mesh, loader, train_step, save, logger, root_key,
-                 state=state, two_view=False, steps_per_epoch=steps_per_epoch)
+                 state=state, two_view=False, steps_per_epoch=steps_per_epoch,
+                 start_epoch=start_epoch)
         return ckpt.path
 
     # ---- MoCo v3
     encoder = MoCoEncoder(arch=cfg.architecture.value, dim=cfg.moco_dim,
-                          mlp_dim=cfg.moco_mlp_dim, dtype=dtype)  # backbone size is
-    # fixed (ViT-B / RN50) like the reference; cfg.model_kwargs applies to MAE only
+                          mlp_dim=cfg.moco_mlp_dim, dtype=dtype)
+    # backbone sizes come from VIT_PRESETS (vit_b/s/conv_s/conv_b) or RN50 like
+    # the reference `-a` choices; cfg.model_kwargs applies to MAE only
     predictor = MoCoPredictor(dim=cfg.moco_dim, mlp_dim=cfg.moco_mlp_dim,
                               dtype=dtype)
     sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
@@ -167,8 +188,11 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     else:
         tx = optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=cfg.weight_decay,
                          mask=wd_mask(params))
-    if cfg.architecture.value == "vit_b" and cfg.moco_stop_grad_patch_embed:
-        # MoCo v3 --stop-grad-conv1: frozen random patch projection
+    if cfg.architecture.value in ("vit_b", "vit_s") and cfg.moco_stop_grad_patch_embed:
+        # MoCo v3 --stop-grad-conv1: frozen random patch projection. Applies
+        # only to the plain-PatchEmbed ViTs — the reference guards on
+        # `isinstance(self.patch_embed, PatchEmbed)` (`vits.py:43-51`), so the
+        # ConvStem variants train their stem normally.
         def is_patch_embed(path_tuple):
             return "patch_embed" in path_tuple
         frozen = jax.tree_util.tree_map_with_path(
@@ -195,30 +219,60 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
                             total_steps=total_steps)
         return moco_step(state, v1, v2, m)
 
+    def moco_tree(st: MoCoState):
+        # everything but the static tx: the full main_moco.py:310-316 protocol
+        return {"params": st.params, "momentum_params": st.momentum_params,
+                "batch_stats": st.batch_stats,
+                "momentum_batch_stats": st.momentum_batch_stats,
+                "opt_state": st.opt_state, "step": st.step}
+
     def save(state, epoch):
         if not ckpt_lib.is_primary():
             return
         tree = {"params": ckpt_lib.host_tree(state.params["encoder"]),
                 "meta": {"epoch": epoch}}
         ckpt.save(tree)
+        resume_ckpt.save({"state": ckpt_lib.host_tree(moco_tree(state)),
+                          "meta": {"epoch": epoch}})
+
+    start_epoch = 1
+    if resume_ckpt.exists():
+        restored = resume_ckpt.restore(
+            {"state": ckpt_lib.host_tree(moco_tree(state)), "meta": {"epoch": 0}})
+        state = state.replace(**jax.device_put(restored["state"],
+                                               replicated(mesh)))
+        start_epoch = int(restored["meta"]["epoch"]) + 1
+        logger.log({"resumed_from_epoch": start_epoch - 1},
+                   echo=f"resuming MoCo pretraining at epoch {start_epoch}")
 
     run_loop(cfg, mesh, loader, train_step, save, logger, root_key,
-             state=state, two_view=True, steps_per_epoch=steps_per_epoch)
+             state=state, two_view=True, steps_per_epoch=steps_per_epoch,
+             start_epoch=start_epoch)
     return ckpt.path
 
 
 def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
-             two_view, steps_per_epoch):
+             two_view, steps_per_epoch, start_epoch: int = 1):
     from ssl4gie_tpu.core.preempt import Preempted, PreemptionGuard
     meter = Throughput()
     with PreemptionGuard() as guard:
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             it = prefetch_to_device(loader.epoch(epoch), mesh)
             epoch_keys = jax.random.split(jax.random.fold_in(root_key, epoch),
                                           max(steps_per_epoch, 1))
             for step, batch in enumerate(it):
                 if step >= steps_per_epoch:
                     break
+                if guard.should_stop:
+                    # mid-epoch preemption: exit WITHOUT saving — the previous
+                    # epoch's .resume slot is the requeue state and this epoch
+                    # replays deterministically (per-epoch fold_in keys +
+                    # (seed, epoch)-seeded loader shuffle)
+                    logger.log({"preempted_in_epoch": epoch},
+                               echo=f"preemption signal mid-epoch {epoch} — "
+                                    f"exiting for requeue, epoch {epoch} will "
+                                    f"replay from the last .resume state")
+                    raise Preempted()
                 key = epoch_keys[step]
                 state, metrics = train_step(state, batch["image"], key)
                 meter.update(batch["image"].shape[0])
@@ -227,8 +281,9 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
                                 "loss": float(metrics["loss"]), **meter.rates()})
             save(state, epoch)
             if guard.should_stop:
-                # pretraining already checkpoints per epoch — the save above IS
-                # the requeue state (submitit_pretrain.py:60-70 equivalent)
+                # the save above wrote both the encoder export AND the full
+                # .resume state — run_pretraining relaunches at epoch+1
+                # (submitit_pretrain.py:60-70 equivalent)
                 logger.log({"preempted_after_epoch": epoch},
                            echo=f"preemption signal — checkpointed epoch "
                                 f"{epoch}, exiting for requeue")

@@ -199,7 +199,8 @@ def build_trainer(cfg: TrainConfig):
     test_loader = Loader(test_src, bs, shuffle=False, drop_last=False,
                          seed=cfg.runtime.seed, num_threads=cfg.data.num_workers)
 
-    logger = MetricsLogger(cfg.log_dir, cfg.run_name())
+    logger = MetricsLogger(cfg.log_dir, cfg.run_name(),
+                           tb=cfg.runtime.tensorboard)
     ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir, cfg.run_name())
     plateau = None
     if cfg.optim.use_plateau_scheduler:
@@ -283,7 +284,8 @@ def _build_detection_trainer(cfg: TrainConfig, mesh):
     from ssl4gie_tpu.core import checkpoint as ckpt_lib
     from ssl4gie_tpu.core.logger import MetricsLogger
     from ssl4gie_tpu.core.schedule import ReduceLROnPlateau
-    logger = MetricsLogger(cfg.log_dir, cfg.run_name())
+    logger = MetricsLogger(cfg.log_dir, cfg.run_name(),
+                           tb=cfg.runtime.tensorboard)
     ckpt = ckpt_lib.CheckpointManager(cfg.ckpt_dir, cfg.run_name())
     plateau = None
     if cfg.optim.use_plateau_scheduler:

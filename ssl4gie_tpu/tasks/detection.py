@@ -72,19 +72,24 @@ class DetectionSource(Source):
         im = Image.open(path)
         if im.mode != "RGB":
             im = im.convert("RGB")
+        original = np.asarray(im, np.uint8) if self.keep_original else None
         W, H = im.size
         if self.resize == "torchvision":
             s = min(TV_MIN_SIZE / min(H, W), TV_MAX_SIZE / max(H, W))
-            W2, H2 = int(round(W * s)), int(round(H * s))
+            # floor, matching torchvision's F.interpolate(scale_factor=s,
+            # recompute_scale_factor=True) output dims (int(round(.)) differed
+            # by 1px on ~half of inputs). Remaining known deviation: PIL
+            # BILINEAR antialiases, torch bilinear does not (docs/PARITY.md).
+            W2, H2 = int(W * s), int(H * s)
             im = im.resize((W2, H2), Image.BILINEAR)
             boxes[:, [0, 2]] *= W2 / W      # torchvision resize_boxes: per-axis
             boxes[:, [1, 3]] *= H2 / H      # ratios of actual new/old sizes
+            scale = np.asarray([W2 / W, H2 / H], np.float32)
             W, H = W2, H2
             p1 = p2 = 0                     # top-left placement
-            scale = s
         else:
             # halve if larger than the canvas (bicubic, `Data/dataset.py:84-99`)
-            scale = 1.0
+            scale = np.asarray([1.0, 1.0], np.float32)
             if H > self.canvas or W > self.canvas:
                 if H % 2:
                     H += 1
@@ -93,7 +98,7 @@ class DetectionSource(Source):
                 im = im.resize((W // 2, H // 2), Image.BICUBIC)
                 W, H = im.size
                 boxes = boxes / 2.0
-                scale = 0.5
+                scale = np.asarray([0.5, 0.5], np.float32)
             p1 = int(np.floor((self.canvas - W) / 2))
             p2 = int(np.floor((self.canvas - H) / 2))
         canvas = np.zeros((self.canvas, self.canvas, 3), np.uint8)
@@ -112,8 +117,23 @@ class DetectionSource(Source):
                "gt_valid": gt_valid}
         if self.keep_original:
             out["pad"] = np.asarray([p1, p2], np.int32)
-            out["scale"] = np.float32(scale)
+            out["scale"] = scale                     # per-axis (sx, sy)
+            out["original"] = original
         return out
+
+
+def boxes_to_original(boxes: np.ndarray, pad: np.ndarray,
+                      scale: np.ndarray) -> np.ndarray:
+    """Map canvas-space boxes back to original-image coordinates, inverting
+    DetectionSource's pad-then-place bookkeeping — the reference's
+    `(box - pad) / scale` un-pad/rescale in `predict_detection.py:29-44`.
+    boxes (N, 4) xyxy; pad (p1, p2); scale per-axis (sx, sy)."""
+    out = np.asarray(boxes, np.float32).copy()
+    p1, p2 = float(pad[0]), float(pad[1])
+    sx, sy = float(scale[0]), float(scale[1])
+    out[:, [0, 2]] = (out[:, [0, 2]] - p1) / sx
+    out[:, [1, 3]] = (out[:, [1, 3]] - p2) / sy
+    return out
 
 
 class SyntheticDetectionSource(Source):

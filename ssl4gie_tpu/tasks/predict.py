@@ -110,12 +110,17 @@ def draw_boxes(img_u8: np.ndarray, boxes, color, thickness: int = 2) -> np.ndarr
 
 def predict_detection(cfg, model, params, batch_stats, test_source, out_dir,
                       indices=None, score_thresh: float = 0.5):
-    """GT (yellow) + predictions above 0.5 (green) drawn on each test image,
-    like `predict_detection.py:29-76,115`."""
+    """GT (yellow) + predictions above 0.5 (green) drawn on the ORIGINAL
+    image: boxes are mapped back through the pad/downscale bookkeeping like
+    `predict_detection.py:29-76,115`. Sources without originals (synthetic)
+    draw on the model-input canvas."""
     from PIL import Image
-    from ssl4gie_tpu.tasks.detection import make_detection_eval_step
+    from ssl4gie_tpu.tasks.detection import (boxes_to_original,
+                                             make_detection_eval_step)
     eval_step = make_detection_eval_step(model, batch_stats)
     os.makedirs(out_dir, exist_ok=True)
+    if hasattr(test_source, "keep_original"):
+        test_source.keep_original = True
     idx = list(indices) if indices is not None else range(len(test_source))
     written = []
     for i in idx:
@@ -123,11 +128,16 @@ def predict_detection(cfg, model, params, batch_stats, test_source, out_dir,
         img = jnp.asarray(s["image"][None]).astype(jnp.float32) / 255.0
         det = {k: np.asarray(v)[0] for k, v in eval_step(params, img).items()}
         keep = det["valid"] & (det["scores"] > score_thresh)
-        canvas = s["image"].copy()
-        canvas = draw_boxes(canvas, s["gt_boxes"][s["gt_valid"]],
-                            color=(255, 255, 0))          # GT yellow
-        canvas = draw_boxes(canvas, det["boxes"][keep],
-                            color=(0, 255, 0))            # pred green
+        gt = s["gt_boxes"][s["gt_valid"]]
+        pred = det["boxes"][keep]
+        if "original" in s:
+            canvas = s["original"].copy()
+            gt = boxes_to_original(gt, s["pad"], s["scale"])
+            pred = boxes_to_original(pred, s["pad"], s["scale"])
+        else:
+            canvas = s["image"].copy()
+        canvas = draw_boxes(canvas, gt, color=(255, 255, 0))    # GT yellow
+        canvas = draw_boxes(canvas, pred, color=(0, 255, 0))    # pred green
         path = os.path.join(out_dir, f"det_{i}.png")
         Image.fromarray(canvas).save(path)
         written.append(path)

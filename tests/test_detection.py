@@ -132,6 +132,116 @@ def test_map_half_iou_threshold_behavior():
     assert 0.0 < r["map"] < 0.5
 
 
+def test_detection_predict_unpad_roundtrip(tmp_path):
+    """predict-time box un-mapping (`predict_detection.py:29-44` parity): a
+    GT box carried through each resize mode's pad/downscale bookkeeping and
+    mapped back with boxes_to_original lands within 1px of the original-frame
+    coordinates, and the original image rides along un-resized."""
+    from PIL import Image
+
+    from ssl4gie_tpu.tasks.detection import (TV_CANVAS, DetectionSource,
+                                             boxes_to_original)
+
+    rng = np.random.default_rng(1)
+    cases = [((1500, 1200), 1024, "fixed"),      # ViT path: halve + center-pad
+             ((640, 480), 1024, "fixed"),        # ViT path: pad only
+             ((537, 390), TV_CANVAS, "torchvision")]
+    for (W, H), canvas, mode in cases:
+        p = tmp_path / f"rt_{W}x{H}_{mode}.png"
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(p)
+        gt = [120.0, 80.0, W * 0.6, H * 0.7]
+        targets = {p.stem: {"bbox": [{"xmin": gt[0], "ymin": gt[1],
+                                      "xmax": gt[2], "ymax": gt[3]}]}}
+        src = DetectionSource([str(p)], targets, canvas, keep_original=True,
+                              resize=mode)
+        s = src.get(0)
+        assert s["original"].shape == (H, W, 3)
+        back = boxes_to_original(s["gt_boxes"][:1], s["pad"], s["scale"])
+        np.testing.assert_allclose(back[0], gt, atol=1.0)
+
+
+def test_map_vectorized_matches_scalar_greedy():
+    """The vectorized all-thresholds matcher must reproduce the scalar greedy
+    matching (per-threshold python loops, `>=` tie-to-last semantics) exactly
+    on random crowded scenes."""
+    from ssl4gie_tpu.metrics.detection import (IOU_THRESHOLDS, RECALL_POINTS,
+                                               _iou_matrix)
+
+    def scalar_ap(preds, gts, iou_thr, max_dets=100):
+        n_gt = sum(len(g) for g in gts)
+        if n_gt == 0:
+            return float("nan")
+        records = []
+        for (boxes, scores), gt in zip(preds, gts):
+            order = np.argsort(-scores)[:max_dets]
+            boxes, scores = boxes[order], scores[order]
+            iou = _iou_matrix(boxes, gt)
+            matched = np.zeros(len(gt), bool)
+            for i in range(len(boxes)):
+                best_j, best_iou = -1, iou_thr
+                for j in range(len(gt)):
+                    if not matched[j] and iou[i, j] >= best_iou:
+                        best_iou = iou[i, j]
+                        best_j = j
+                if best_j >= 0:
+                    matched[best_j] = True
+                    records.append((scores[i], 1))
+                else:
+                    records.append((scores[i], 0))
+        if not records:
+            return 0.0
+        records.sort(key=lambda r: -r[0])
+        tps = np.array([r[1] for r in records], np.float32)
+        tp_cum, fp_cum = np.cumsum(tps), np.cumsum(1.0 - tps)
+        recall = tp_cum / n_gt
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
+        for i in range(len(precision) - 2, -1, -1):
+            precision[i] = max(precision[i], precision[i + 1])
+        idx = np.searchsorted(recall, RECALL_POINTS, side="left")
+        p_at_r = np.where(idx < len(precision),
+                          precision[np.minimum(idx, len(precision) - 1)], 0.0)
+        return float(np.mean(p_at_r))
+
+    rng = np.random.default_rng(0)
+
+    def rand_boxes(n):
+        xy = rng.uniform(0, 200, (n, 2))
+        wh = rng.uniform(5, 80, (n, 2))
+        return np.concatenate([xy, xy + wh], 1).astype(np.float32)
+
+    n_img, n_cls = 6, 3
+    preds, targets = [], []
+    for _ in range(n_img):
+        n_p, n_g = rng.integers(0, 30), rng.integers(0, 8)
+        preds.append({"boxes": rand_boxes(n_p),
+                      "scores": rng.uniform(0, 1, n_p).astype(np.float32),
+                      "labels": rng.integers(1, n_cls + 1, n_p)})
+        targets.append({"boxes": rand_boxes(n_g),
+                        "labels": rng.integers(1, n_cls + 1, n_g)})
+    # duplicate some predictions exactly onto GT boxes to create IoU ties
+    for p, t in zip(preds, targets):
+        if len(t["boxes"]) and len(p["boxes"]) >= 2:
+            p["boxes"][:2] = t["boxes"][0]
+            p["labels"][:2] = t["labels"][0]
+
+    m = MeanAveragePrecision()
+    m.update(preds, targets)
+    got = m.compute()
+
+    classes = sorted({int(c) for t in targets for c in np.unique(t["labels"])})
+    aps = np.full((len(IOU_THRESHOLDS), len(classes)), np.nan)
+    for ci, c in enumerate(classes):
+        pc = [(p["boxes"][p["labels"] == c].reshape(-1, 4),
+               p["scores"][p["labels"] == c].reshape(-1)) for p in preds]
+        gc = [t["boxes"][t["labels"] == c].reshape(-1, 4) for t in targets]
+        for ti, thr in enumerate(IOU_THRESHOLDS):
+            aps[ti, ci] = scalar_ap(pc, gc, thr)
+    with np.errstate(invalid="ignore"):
+        assert got["map"] == pytest.approx(float(np.nanmean(aps)), abs=1e-9)
+        assert got["map_50"] == pytest.approx(float(np.nanmean(aps[0])), abs=1e-9)
+        assert got["map_75"] == pytest.approx(float(np.nanmean(aps[5])), abs=1e-9)
+
+
 @pytest.mark.slow
 def test_faster_rcnn_train_and_eval_smoke():
     import optax
@@ -177,7 +287,9 @@ def test_detection_source_torchvision_resize(tmp_path):
     from ssl4gie_tpu.tasks.detection import (TV_CANVAS, DetectionSource)
 
     rng = np.random.default_rng(0)
-    cases = [(600, 400, 2.0), (1920, 1072, 1333 / 1920)]   # (W, H, expected s)
+    # (W, H, expected s); the 537x390 case has round(W*s) != floor(W*s) —
+    # torchvision floors via interpolate(recompute_scale_factor=True)
+    cases = [(600, 400, 2.0), (1920, 1072, 1333 / 1920), (537, 390, 800 / 390)]
     for W, H, s_exp in cases:
         p = tmp_path / f"img_{W}x{H}.png"
         Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(p)
@@ -186,7 +298,7 @@ def test_detection_source_torchvision_resize(tmp_path):
         src = DetectionSource([str(p)], targets, TV_CANVAS, resize="torchvision")
         out = src.get(0)
         assert out["image"].shape == (TV_CANVAS, TV_CANVAS, 3)
-        W2, H2 = int(round(W * s_exp)), int(round(H * s_exp))
+        W2, H2 = int(W * s_exp), int(H * s_exp)
         # image content sits top-left: the row/col just past the resized extent
         # is zero padding
         assert out["image"][:H2, :W2].any()

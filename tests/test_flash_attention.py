@@ -62,6 +62,46 @@ def test_flash_gradients_match_plain(qkv):
                                    atol=3e-3, err_msg=name)
 
 
+def test_flash_padded_gradients_low_lse():
+    """Padded-N path (n_valid masking) backward regression: when a query row's
+    valid logits are all very negative (lse < -87), the unmasked dq kernel
+    computed p=exp(0-lse)=inf for padded key columns and produced NaN dq via
+    inf*0 (ADVICE r2). The masked kernel must give finite grads that match
+    plain attention on the unpadded arrays."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ssl4gie_tpu.kernels import flash_attention as fa
+
+    BH, N, D = 2, 197, 64
+    rng = np.random.default_rng(3)
+    q = rng.normal(0, 1, (BH, N, D)).astype(np.float32)
+    k = rng.normal(0, 1, (BH, N, D)).astype(np.float32)
+    v = rng.normal(0, 1, (BH, N, D)).astype(np.float32)
+    # force one row's scaled valid logits below -100 everywhere -> lse < -87
+    q[0, 0] = 40.0
+    k[0] = -np.abs(k[0]) - 1.0
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    scale = D ** -0.5
+
+    def loss(fn, q, k, v):
+        o = fn(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    def flash_fn(q, k, v):
+        return fa.flash_attention_heads(q[:, None], k[:, None], v[:, None],
+                                        scale)[:, 0]
+
+    def plain_fn(q, k, v):
+        return _plain(q, k, v, scale)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(lambda *a: loss(flash_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(lambda *a: loss(plain_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gp, "qkv"):
+        assert np.isfinite(np.asarray(a)).all(), name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3,
+                                   atol=3e-3, err_msg=name)
+
+
 def test_fused_qkv_attention_matches_plain():
     """The packed-QKV dense kernel (one VMEM block per image, softmax recomputed
     in the backward) matches head-split plain attention for N=197, including

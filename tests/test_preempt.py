@@ -6,6 +6,7 @@ import os
 import signal
 import tempfile
 
+import jax
 import pytest
 
 from ssl4gie_tpu.core.config import (Architecture, DataConfig, OptimConfig,
@@ -69,5 +70,45 @@ def test_trainer_preempt_saves_and_resumes():
         best = trainer3.fit()
         assert best is not None
         assert trainer3.ckpt.exists()
+        # the .preempt slot is deleted once the rerun trains past its epoch,
+        # so a later relaunch can never prefer the stale requeue state
+        assert not trainer3.preempt_ckpt.exists()
 
     assert REQUEUE_EXIT_CODE == 42
+
+
+def test_mid_epoch_preempt_saves_boundary_state():
+    """A signal in the middle of an epoch must save the state as of the last
+    epoch BOUNDARY (not in-flight params), so the replayed epoch does not
+    apply its first batches twice."""
+    import numpy as np
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tiny_config(tmp)
+        trainer = build_trainer(cfg)
+
+        orig_step = trainer.train_step
+        calls = {"n": 0}
+
+        def step_and_preempt(state, batch, rng):
+            calls["n"] += 1
+            if calls["n"] == 1:     # latch during epoch 1's first step, so the
+                # NEXT step's poll stops mid-epoch (one update has applied)
+                os.kill(os.getpid(), signal.SIGTERM)
+                signal.getsignal(signal.SIGTERM)
+            return orig_step(state, batch, rng)
+
+        init_params = jax.device_get(trainer.state.params)  # host copy:
+        # the jitted step donates the state, invalidating old device buffers
+        trainer.train_step = step_and_preempt
+        with pytest.raises(Preempted):
+            trainer.fit()
+        assert trainer.preempt_ckpt.exists()
+
+        restored = trainer.preempt_ckpt.restore(
+            trainer._ckpt_tree(0, 0.0, 0.0))
+        assert int(restored["meta"]["epoch"]) == 0   # nothing complete yet
+        leaves_saved = jax.tree_util.tree_leaves(restored["params"])
+        leaves_init = jax.tree_util.tree_leaves(init_params)
+        for a, b in zip(leaves_saved, leaves_init):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

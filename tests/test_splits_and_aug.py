@@ -189,3 +189,26 @@ def test_fast_random_affine_matches_gather_affine():
                                 scale_range=(1.0, 1.0), shear=0.0)
     np.testing.assert_array_equal(np.asarray(oi), np.asarray(img))
     np.testing.assert_array_equal(np.asarray(ot), np.asarray(tgt))
+
+
+def test_fast_random_affine_non_default_size():
+    """Canvas sizes derive from H: non-224 inputs (e.g. 384, 96) must keep
+    full resolution and agree with the gather affine — previously 384 silently
+    returned a 16x16 crop (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl4gie_tpu.data.augment import fast_random_affine, random_affine
+
+    for H in (96, 384):
+        rng = np.random.default_rng(H)
+        img = jnp.asarray(rng.random((2, H, H, 3)).astype(np.float32) * 2 - 1)
+        key = jax.random.PRNGKey(11)
+        oi, _ = fast_random_affine(key, img)
+        assert oi.shape == (2, H, H, 3)
+        oi_ref, _ = random_affine(key, img)
+        assert np.mean(np.asarray(oi_ref) == np.asarray(oi)) > 0.5
+        assert np.mean((np.asarray(oi_ref) == -1.0) == (np.asarray(oi) == -1.0)) > 0.99
+        oi, _ = fast_random_affine(key, img, degrees=0.0, translate_frac=0.0,
+                                   scale_range=(1.0, 1.0), shear=0.0)
+        np.testing.assert_array_equal(np.asarray(oi), np.asarray(img))

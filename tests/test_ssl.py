@@ -134,6 +134,133 @@ def test_moco_pretrain_loop():
         assert os.path.isdir(path)
 
 
+def _tiny_mae_cfg(tmp, epochs=3):
+    from ssl4gie_tpu.core.config import (Architecture, DataConfig,
+                                         PretrainConfig, RuntimeConfig,
+                                         SSLFramework)
+    return PretrainConfig(
+        framework=SSLFramework.MAE, architecture=Architecture.VIT_B,
+        epochs=epochs, warmup_epochs=0, batch_size=8, img_size=32,
+        model_kwargs=dict(embed_dim=64, depth=2, num_heads=2,
+                          decoder_embed_dim=32, decoder_depth=1,
+                          decoder_num_heads=2),
+        data=DataConfig(synthetic=True, synthetic_size=16, num_workers=2),
+        runtime=RuntimeConfig(compute_dtype="float32", log_every=1),
+        ckpt_dir=os.path.join(tmp, "pre"))
+
+
+@pytest.mark.slow
+def test_pretrain_preempt_resume_exact_replay(monkeypatch):
+    """The full pretraining resume protocol (`main_moco.py:310-316`,
+    `mae/util/misc.py:315-329` equivalents): SIGTERM a synthetic MAE pretrain
+    mid-epoch-2, relaunch the same command, and assert (a) it resumes at epoch
+    2 (not epoch 1) and (b) the final params are bit-identical to an
+    uninterrupted run (per-epoch RNG + (seed, epoch) loader shuffle make the
+    interrupted epoch replay exactly)."""
+    import signal
+
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+    from ssl4gie_tpu.core.preempt import Preempted
+    import ssl4gie_tpu.ssl.pretrain as pre
+
+    def export_tree(path):
+        mgr = ckpt_lib.CheckpointManager(os.path.dirname(path),
+                                         os.path.basename(path))
+        return mgr.restore()
+
+    with tempfile.TemporaryDirectory() as tmp_a, \
+            tempfile.TemporaryDirectory() as tmp_b:
+        # run A: uninterrupted 3 epochs
+        path_a = pre.run_pretraining(_tiny_mae_cfg(tmp_a))
+        ref = export_tree(path_a)
+        assert int(ref["meta"]["epoch"]) == 3
+
+        # run B: SIGTERM during epoch 2 step 1 (2 steps/epoch), then relaunch
+        calls = {"n": 0}
+        real_throughput = pre.Throughput
+
+        class KillingThroughput(real_throughput):
+            def update(self, n):
+                calls["n"] += 1
+                if calls["n"] == 3:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                    signal.getsignal(signal.SIGTERM)   # force handler delivery
+                return super().update(n)
+
+        monkeypatch.setattr(pre, "Throughput", KillingThroughput)
+        cfg_b = _tiny_mae_cfg(tmp_b)
+        with pytest.raises(Preempted):
+            pre.run_pretraining(cfg_b)
+
+        resume = ckpt_lib.CheckpointManager(
+            cfg_b.ckpt_dir, "mae_vit_b.resume").restore()
+        assert int(resume["meta"]["epoch"]) == 1   # only epoch 1 complete
+
+        # relaunch: must resume at epoch 2 and finish identically to run A
+        logged = []
+        real_log = pre.MetricsLogger.log
+        monkeypatch.setattr(pre.MetricsLogger, "log",
+                            lambda self, rec, echo=None:
+                            (logged.append(rec), real_log(self, rec, echo))[1])
+        path_b = pre.run_pretraining(cfg_b)
+        assert any(r.get("resumed_from_epoch") == 1 for r in logged)
+        out = export_tree(path_b)
+        assert int(out["meta"]["epoch"]) == 3
+        ra = jax.tree_util.tree_leaves(ref["params"])
+        rb = jax.tree_util.tree_leaves(out["params"])
+        assert len(ra) == len(rb)
+        for a, b in zip(ra, rb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_moco_pretrain_resume_state_complete(monkeypatch):
+    """The MoCo .resume slot must carry predictor + momentum params/stats +
+    opt_state + step (everything the round-2 export dropped), and a relaunch
+    must pick up at epoch+1 with the restored step counter."""
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+    import ssl4gie_tpu.ssl.pretrain as pre
+    from ssl4gie_tpu.core.config import (Architecture, DataConfig,
+                                         PretrainConfig, RuntimeConfig,
+                                         SSLFramework)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = PretrainConfig(
+            framework=SSLFramework.MOCOV3, architecture=Architecture.RESNET50,
+            epochs=1, warmup_epochs=0, batch_size=8, img_size=32,
+            moco_dim=32, moco_mlp_dim=64,
+            data=DataConfig(synthetic=True, synthetic_size=16, num_workers=2),
+            runtime=RuntimeConfig(compute_dtype="float32", log_every=1),
+            ckpt_dir=os.path.join(tmp, "pre"))
+        pre.run_pretraining(cfg)
+
+        resume = ckpt_lib.CheckpointManager(
+            cfg.ckpt_dir, "mocov3_resnet50.resume").restore()
+        st = resume["state"]
+        assert int(resume["meta"]["epoch"]) == 1
+        assert int(st["step"]) == 2                      # 16/8 = 2 steps
+        for k in ("params", "momentum_params", "batch_stats",
+                  "momentum_batch_stats", "opt_state"):
+            assert k in st, k
+        assert "predictor" in st["params"]
+        assert jax.tree_util.tree_leaves(st["momentum_params"])
+
+        # relaunch with more epochs: resumes at 2, step counter continues
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, epochs=2)
+        logged = []
+        real_log = pre.MetricsLogger.log
+        monkeypatch.setattr(pre.MetricsLogger, "log",
+                            lambda self, rec, echo=None:
+                            (logged.append(rec), real_log(self, rec, echo))[1])
+        pre.run_pretraining(cfg2)
+        assert any(r.get("resumed_from_epoch") == 1 for r in logged)
+        resume2 = ckpt_lib.CheckpointManager(
+            cfg.ckpt_dir, "mocov3_resnet50.resume").restore()
+        assert int(resume2["meta"]["epoch"]) == 2
+        assert int(resume2["state"]["step"]) == 4
+
+
 def test_random_resized_crop_matmul_bilinear_exact():
     """The separable interp-matmul crop equals direct bilinear sampling at the
     same source coordinates (numpy reference)."""
