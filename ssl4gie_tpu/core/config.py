@@ -118,6 +118,8 @@ class RuntimeConfig:
     log_every: int = 10
     profile_dir: Optional[str] = None  # jax.profiler trace output
     tensorboard: bool = False          # also emit tfevents scalars (core.tb)
+    scan_steps: int = 8                # pretrain steps scanned per jit dispatch
+    # (keeps python/dispatch latency out of the hot loop; 1 = per-step calls)
 
 
 @dataclasses.dataclass

@@ -90,9 +90,11 @@ class Throughput:
         self._images = 0
         self._steps = 0
 
-    def update(self, batch_size: int):
+    def update(self, batch_size: int, steps: int = 1):
+        """batch_size: TOTAL images just processed (across `steps` steps —
+        the pretrain loop dispatches scan_steps steps per python call)."""
         self._images += batch_size
-        self._steps += 1
+        self._steps += steps
 
     def rates(self) -> Dict[str, float]:
         dt = max(time.perf_counter() - self._t, 1e-9)

@@ -30,7 +30,7 @@ from ssl4gie_tpu.core.config import PretrainConfig, SSLFramework
 from ssl4gie_tpu.core.logger import MetricsLogger, Throughput
 from ssl4gie_tpu.core.mesh import make_mesh, replicated
 from ssl4gie_tpu.core.schedule import cosine_momentum
-from ssl4gie_tpu.data.loader import Loader, Source, prefetch_to_device
+from ssl4gie_tpu.data.loader import Loader, Source
 from ssl4gie_tpu.data.ssl_augment import mae_augment, moco_two_crops
 from ssl4gie_tpu.ssl.lars import lars
 from ssl4gie_tpu.ssl.mae import MAE
@@ -251,18 +251,73 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     return ckpt.path
 
 
+def _superbatches(it, mesh, k, total_steps):
+    """Group the host loader stream into (k, B, ...) superbatches, double-
+    buffered onto the mesh sharded over the batch dim (dim 1).
+
+    Batch composition AND order are exactly the per-step path's — consecutive
+    loader batches are stacked along a new leading scan dim, so scanning over
+    dim 0 replays the identical sequence of updates.
+    """
+    import collections
+    import itertools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(chunk):
+        stacked = {key: np.stack([b[key] for b in chunk]) for key in chunk[0]}
+        out = {}
+        for key, v in stacked.items():
+            sh = NamedSharding(mesh, P(None, "data", *([None] * (v.ndim - 2))))
+            out[key] = jax.device_put(v, sh)
+        return out, len(chunk)
+
+    it = itertools.islice(it, total_steps)
+    queue = collections.deque()
+    while True:
+        chunk = list(itertools.islice(it, k))
+        if not chunk:
+            break
+        queue.append(put(chunk))
+        if len(queue) > 1:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
              two_view, steps_per_epoch, start_epoch: int = 1):
+    """Epoch loop with `scan_steps` train steps scanned inside ONE jit dispatch
+    (same technique as bench.py): python and dispatch latency leave the hot
+    loop entirely — on this relay that is ~40 ms/step, on a real TPU VM it
+    keeps the device queue full. Per-step RNG keys, batch order, and loss
+    values are bit-identical to the per-step formulation.
+    """
     from ssl4gie_tpu.core.preempt import Preempted, PreemptionGuard
     meter = Throughput()
+    log_every = cfg.runtime.log_every
+    K = max(1, min(int(getattr(cfg.runtime, "scan_steps", 8) or 1),
+                   steps_per_epoch))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state, imgs, keys):
+        def body(st, xs):
+            img, k = xs
+            st, m = train_step(st, img, k)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, (imgs, keys))
+
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, cfg.epochs + 1):
-            it = prefetch_to_device(loader.epoch(epoch), mesh)
-            epoch_keys = jax.random.split(jax.random.fold_in(root_key, epoch),
-                                          max(steps_per_epoch, 1))
-            for step, batch in enumerate(it):
-                if step >= steps_per_epoch:
-                    break
+            meter.reset()   # per-epoch rates (epoch 1 absorbs the compile)
+            # one split per epoch, fetched to host once: per-chunk key slices
+            # are then plain numpy (no eager device ops in the hot loop)
+            epoch_keys = np.asarray(
+                jax.random.split(jax.random.fold_in(root_key, epoch),
+                                 max(steps_per_epoch, 1)))
+            step = 0
+            for batch, klen in _superbatches(loader.epoch(epoch), mesh, K,
+                                             steps_per_epoch):
                 if guard.should_stop:
                     # mid-epoch preemption: exit WITHOUT saving — the previous
                     # epoch's .resume slot is the requeue state and this epoch
@@ -273,12 +328,17 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
                                     f"exiting for requeue, epoch {epoch} will "
                                     f"replay from the last .resume state")
                     raise Preempted()
-                key = epoch_keys[step]
-                state, metrics = train_step(state, batch["image"], key)
-                meter.update(batch["image"].shape[0])
-                if (step + 1) % cfg.runtime.log_every == 0:
-                    logger.log({"epoch": epoch, "step": step + 1,
-                                "loss": float(metrics["loss"]), **meter.rates()})
+                state, losses = run_chunk(state, batch["image"],
+                                          epoch_keys[step:step + klen])
+                meter.update(klen * batch["image"].shape[1], steps=klen)
+                if (step + klen) // log_every > step // log_every:
+                    losses_np = np.asarray(losses)   # one sync per logged chunk
+                    for j in range(klen):
+                        if (step + j + 1) % log_every == 0:
+                            logger.log({"epoch": epoch, "step": step + j + 1,
+                                        "loss": float(losses_np[j]),
+                                        **meter.rates()})
+                step += klen
             save(state, epoch)
             if guard.should_stop:
                 # the save above wrote both the encoder export AND the full

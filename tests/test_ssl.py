@@ -134,10 +134,12 @@ def test_moco_pretrain_loop():
         assert os.path.isdir(path)
 
 
-def _tiny_mae_cfg(tmp, epochs=3):
+def _tiny_mae_cfg(tmp, epochs=3, scan_steps=1):
     from ssl4gie_tpu.core.config import (Architecture, DataConfig,
                                          PretrainConfig, RuntimeConfig,
                                          SSLFramework)
+    # scan_steps=1 keeps the Throughput meter (and so the preempt-kill hooks
+    # below) at per-STEP granularity; production chunks scan_steps per dispatch
     return PretrainConfig(
         framework=SSLFramework.MAE, architecture=Architecture.VIT_B,
         epochs=epochs, warmup_epochs=0, batch_size=8, img_size=32,
@@ -145,8 +147,33 @@ def _tiny_mae_cfg(tmp, epochs=3):
                           decoder_embed_dim=32, decoder_depth=1,
                           decoder_num_heads=2),
         data=DataConfig(synthetic=True, synthetic_size=16, num_workers=2),
-        runtime=RuntimeConfig(compute_dtype="float32", log_every=1),
+        runtime=RuntimeConfig(compute_dtype="float32", log_every=1,
+                              scan_steps=scan_steps),
         ckpt_dir=os.path.join(tmp, "pre"))
+
+
+@pytest.mark.slow
+def test_pretrain_scan_steps_invariance():
+    """The scan_steps-chunked dispatch must be a pure performance knob: the
+    same batches + per-step keys replay, so final params match the per-step
+    (scan_steps=1) path."""
+    import ssl4gie_tpu.ssl.pretrain as pre
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+
+    def run(tmp, k):
+        path = pre.run_pretraining(_tiny_mae_cfg(tmp, scan_steps=k))
+        mgr = ckpt_lib.CheckpointManager(os.path.dirname(path),
+                                         os.path.basename(path))
+        return mgr.restore()["params"]
+
+    with tempfile.TemporaryDirectory() as ta, \
+            tempfile.TemporaryDirectory() as tb:
+        pa = jax.tree_util.tree_leaves(run(ta, 1))
+        pb = jax.tree_util.tree_leaves(run(tb, 2))
+        assert len(pa) == len(pb)
+        for a, b in zip(pa, pb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-6)
 
 
 @pytest.mark.slow
@@ -180,12 +207,12 @@ def test_pretrain_preempt_resume_exact_replay(monkeypatch):
         real_throughput = pre.Throughput
 
         class KillingThroughput(real_throughput):
-            def update(self, n):
+            def update(self, n, steps=1):
                 calls["n"] += 1
                 if calls["n"] == 3:
                     os.kill(os.getpid(), signal.SIGTERM)
                     signal.getsignal(signal.SIGTERM)   # force handler delivery
-                return super().update(n)
+                return super().update(n, steps=steps)
 
         monkeypatch.setattr(pre, "Throughput", KillingThroughput)
         cfg_b = _tiny_mae_cfg(tmp_b)
