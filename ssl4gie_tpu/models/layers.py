@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -121,6 +122,25 @@ class _GeluDense(nn.Module):
                            bias.astype(self.dtype), self.approximate)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree ({kernel, bias}, same init
+    order) for paths that consume the weights directly (fused_mlp kernel)."""
+    features: int
+    kernel_init: Callable = TIMM_INIT
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+# opt-in: VMEM-resident fused fc1+gelu+fc2 Pallas kernel (kernels/fused_mlp)
+# instead of XLA's two-fusion MLP. Checkpoint tree and math are identical.
+_FUSED_MLP = os.environ.get("SSL4GIE_FUSED_MLP", "0") == "1"
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -129,6 +149,18 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        tokens = x.size // x.shape[-1]
+        if _FUSED_MLP and self.dtype == jnp.bfloat16 and tokens % 128 == 0:
+            # bf16-only: the fused kernel always uses tanh GELU, which is the
+            # bf16 default below anyway (one-ULP parity, see comment)
+            w1, b1 = _DenseParams(self.hidden_dim, self.kernel_init,
+                                  name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(self.out_dim, self.kernel_init,
+                                  name="fc2")(self.hidden_dim)
+            from ssl4gie_tpu.kernels.fused_mlp import fused_mlp
+            return fused_mlp(x.astype(self.dtype), w1.astype(self.dtype),
+                             b1.astype(self.dtype), w2.astype(self.dtype),
+                             b2.astype(self.dtype), True)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=self.kernel_init, name="fc1")(x)
         # exact erf GELU in f32 (reference timm parity, converter tests at

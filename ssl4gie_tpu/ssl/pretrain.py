@@ -252,35 +252,36 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
 
 
 def _superbatches(it, mesh, k, total_steps):
-    """Group the host loader stream into (k, B, ...) superbatches, double-
-    buffered onto the mesh sharded over the batch dim (dim 1).
+    """Group the host loader stream into chunks of up to k batches, each batch
+    device_put (async, double-buffered) with the usual data sharding.
 
-    Batch composition AND order are exactly the per-step path's — consecutive
-    loader batches are stacked along a new leading scan dim, so scanning over
-    dim 0 replays the identical sequence of updates.
+    Yields LISTS of per-batch device arrays — the chunk is stacked along the
+    scan dim inside the jitted chunk runner, because a host-side np.stack of
+    the superbatch costs a ~350 ms/step page-faulting memcpy on a 1-core host
+    (measured; device-side stacking is ~0.5 ms of HBM traffic). Batch
+    composition AND order are exactly the per-step path's.
     """
     import collections
     import itertools
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ssl4gie_tpu.core.mesh import data_sharding
 
-    def put(chunk):
-        stacked = {key: np.stack([b[key] for b in chunk]) for key in chunk[0]}
-        out = {}
-        for key, v in stacked.items():
-            sh = NamedSharding(mesh, P(None, "data", *([None] * (v.ndim - 2))))
-            out[key] = jax.device_put(v, sh)
-        return out, len(chunk)
+    def put(b):
+        return {key: jax.device_put(v, data_sharding(mesh, v.ndim))
+                for key, v in b.items()}
 
     it = itertools.islice(it, total_steps)
     queue = collections.deque()
-    while True:
-        chunk = list(itertools.islice(it, k))
-        if not chunk:
-            break
-        queue.append(put(chunk))
-        if len(queue) > 1:
-            yield queue.popleft()
+    chunk = []
+    for b in it:
+        chunk.append(put(b))
+        if len(chunk) == k:
+            queue.append(chunk)
+            chunk = []
+            if len(queue) > 1:
+                yield queue.popleft()
+    if chunk:
+        queue.append(chunk)
     while queue:
         yield queue.popleft()
 
@@ -299,13 +300,16 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
     K = max(1, min(int(getattr(cfg.runtime, "scan_steps", 8) or 1),
                    steps_per_epoch))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(state, imgs, keys):
+        # imgs: LIST of (B, ...) batches — stacked here (cheap HBM traffic)
+        # rather than on the slow host; donated so buffers free as consumed
+        stacked = jnp.stack(imgs)
         def body(st, xs):
             img, k = xs
             st, m = train_step(st, img, k)
             return st, m["loss"]
-        return jax.lax.scan(body, state, (imgs, keys))
+        return jax.lax.scan(body, state, (stacked, keys))
 
     with PreemptionGuard() as guard:
         for epoch in range(start_epoch, cfg.epochs + 1):
@@ -316,8 +320,9 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
                 jax.random.split(jax.random.fold_in(root_key, epoch),
                                  max(steps_per_epoch, 1)))
             step = 0
-            for batch, klen in _superbatches(loader.epoch(epoch), mesh, K,
-                                             steps_per_epoch):
+            for chunk in _superbatches(loader.epoch(epoch), mesh, K,
+                                       steps_per_epoch):
+                klen = len(chunk)
                 if guard.should_stop:
                     # mid-epoch preemption: exit WITHOUT saving — the previous
                     # epoch's .resume slot is the requeue state and this epoch
@@ -328,9 +333,11 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
                                     f"exiting for requeue, epoch {epoch} will "
                                     f"replay from the last .resume state")
                     raise Preempted()
-                state, losses = run_chunk(state, batch["image"],
+                imgs = [b["image"] for b in chunk]
+                bsz = imgs[0].shape[0]    # read before donation invalidates
+                state, losses = run_chunk(state, imgs,
                                           epoch_keys[step:step + klen])
-                meter.update(klen * batch["image"].shape[1], steps=klen)
+                meter.update(klen * bsz, steps=klen)
                 if (step + klen) // log_every > step // log_every:
                     losses_np = np.asarray(losses)   # one sync per logged chunk
                     for j in range(klen):
