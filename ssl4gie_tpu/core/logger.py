@@ -96,7 +96,25 @@ class Throughput:
         self._images += batch_size
         self._steps += steps
 
-    def rates(self) -> Dict[str, float]:
+    def rates(self, remaining_steps: Optional[int] = None) -> Dict[str, float]:
         dt = max(time.perf_counter() - self._t, 1e-9)
-        return {"images_per_sec": self._images / dt,
-                "step_time_ms": 1000.0 * dt / max(self._steps, 1)}
+        out = {"images_per_sec": self._images / dt,
+               "step_time_ms": 1000.0 * dt / max(self._steps, 1)}
+        if remaining_steps is not None:
+            # epoch ETA from the running mean step time (the reference
+            # MetricLogger's `eta:` field, `Models/mae/util/misc.py:140-151`)
+            out["eta_s"] = round(remaining_steps * dt / max(self._steps, 1), 1)
+        return out
+
+
+def peak_memory_mb() -> Optional[float]:
+    """Peak device memory in use, MB (the reference's per-epoch
+    `torch.cuda.max_memory_allocated` meter, `Models/mae/util/misc.py:164-167`).
+    None where the backend exposes no memory_stats (CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if stats and "peak_bytes_in_use" in stats:
+        return round(stats["peak_bytes_in_use"] / 2**20, 1)
+    return None

@@ -238,10 +238,16 @@ class Trainer:
                     raise FloatingPointError(
                         f"Loss is {last_loss} at epoch {epoch} step {step+1}, "
                         "stopping training")
-                self.logger.log({"epoch": epoch, "step": step + 1,
-                                 "loss": last_loss,
-                                 "lr": get_lr(self.state.opt_state),
-                                 **meter.rates()})
+                payload = {"epoch": epoch, "step": step + 1,
+                           "loss": last_loss,
+                           "lr": get_lr(self.state.opt_state),
+                           **meter.rates(n_steps - (step + 1))}
+                if step + 1 == len(self.train_loader):
+                    from ssl4gie_tpu.core.logger import peak_memory_mb
+                    mem = peak_memory_mb()   # once per epoch (host round-trip)
+                    if mem is not None:
+                        payload["max_mem_mb"] = mem
+                self.logger.log(payload)
         return last_loss
 
     def evaluate(self, loader, epoch: int, split: str) -> float:

@@ -27,7 +27,8 @@ import optax
 
 from ssl4gie_tpu.core import checkpoint as ckpt_lib
 from ssl4gie_tpu.core.config import PretrainConfig, SSLFramework
-from ssl4gie_tpu.core.logger import MetricsLogger, Throughput
+from ssl4gie_tpu.core.logger import (MetricsLogger, Throughput,
+                                     peak_memory_mb)
 from ssl4gie_tpu.core.mesh import make_mesh, replicated
 from ssl4gie_tpu.core.schedule import cosine_momentum
 from ssl4gie_tpu.data.loader import Loader, Source
@@ -300,10 +301,11 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
     K = max(1, min(int(getattr(cfg.runtime, "scan_steps", 8) or 1),
                    steps_per_epoch))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, imgs, keys):
         # imgs: LIST of (B, ...) batches — stacked here (cheap HBM traffic)
-        # rather than on the slow host; donated so buffers free as consumed
+        # rather than on the slow host. Not donated: uint8 inputs never match
+        # an output buffer, so donation would only emit unusable-buffer noise.
         stacked = jnp.stack(imgs)
         def body(st, xs):
             img, k = xs
@@ -344,9 +346,13 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
                         if (step + j + 1) % log_every == 0:
                             logger.log({"epoch": epoch, "step": step + j + 1,
                                         "loss": float(losses_np[j]),
-                                        **meter.rates()})
+                                        **meter.rates(
+                                            steps_per_epoch - (step + j + 1))})
                 step += klen
             save(state, epoch)
+            mem = peak_memory_mb()   # once per epoch (host round-trip)
+            if mem is not None:
+                logger.log({"epoch": epoch, "max_mem_mb": mem})
             if guard.should_stop:
                 # the save above wrote both the encoder export AND the full
                 # .resume state — run_pretraining relaunches at epoch+1

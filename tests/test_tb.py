@@ -59,3 +59,21 @@ def test_metrics_logger_tb_sink(tmp_path):
     scalars = read_scalars(path)
     assert (1, "loss", 0.75) in scalars and (2, "loss", 0.5) in scalars
     assert not any(tag == "note" for _, tag, _ in scalars)
+
+
+def test_throughput_eta_and_peak_memory():
+    """ETA field of the rates meter + None-safe peak-HBM probe (the reference
+    MetricLogger's `eta:`/max-mem meters, `Models/mae/util/misc.py:140-167`)."""
+    import time
+
+    from ssl4gie_tpu.core.logger import Throughput, peak_memory_mb
+
+    m = Throughput()
+    time.sleep(0.05)
+    m.update(8, steps=2)
+    r = m.rates(remaining_steps=10)
+    assert r["eta_s"] == np.round(10 * r["step_time_ms"] / 1000.0, 1)
+    assert "eta_s" not in m.rates()
+
+    mem = peak_memory_mb()          # CPU backend: None; TPU: positive float
+    assert mem is None or mem > 0
