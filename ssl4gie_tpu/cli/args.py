@@ -46,8 +46,10 @@ def add_train(p: argparse.ArgumentParser):
                    help="default: 50 cls/depth, 200 seg/det (reference defaults)")
     p.add_argument("--learning-rate", "--lr", type=float, default=1e-4,
                    dest="learning_rate")
-    p.add_argument("--learning-rate-scheduler", "--lrs", type=str, default="true",
-                   dest="lrs")
+    # the reference flag is a bare store_true (`train_classification.py:405`);
+    # accept both that form and an explicit true/false value
+    p.add_argument("--learning-rate-scheduler", "--lrs", type=str, nargs="?",
+                   const="true", default="false", dest="lrs")
     p.add_argument("--learning-rate-scheduler-minimum", "--lrs-min", type=float,
                    default=1e-6, dest="lrs_min")
     p.add_argument("--accum_iter", "--accum-iter", type=int, default=1,
@@ -82,7 +84,7 @@ def to_train_config(args) -> TrainConfig:
                         batch_size=args.batch_size, synthetic=args.synthetic),
         optim=OptimConfig(
             learning_rate=getattr(args, "learning_rate", 1e-4),
-            use_plateau_scheduler=getattr(args, "lrs", "true") == "true",
+            use_plateau_scheduler=getattr(args, "lrs", "false") == "true",
             min_lr=getattr(args, "lrs_min", 1e-6),
             accum_steps=getattr(args, "accum_iter", 1),
             layer_decay=getattr(args, "layer_decay", None),

@@ -330,6 +330,17 @@ class DetectionTrainer:
         self.best_val = None
         self.start_epoch = 1
         self._lr = cfg.optim.learning_rate
+        # preemption machinery mirroring core.trainer.Trainer: a `.preempt`
+        # sibling slot so requeue state never clobbers the best-val params,
+        # plus an epoch-boundary snapshot that a MID-epoch signal saves (the
+        # interrupted epoch replays from clean state; no batch applied twice)
+        import os as _os
+        from ssl4gie_tpu.core import checkpoint as ckpt_lib
+        self.preempt_ckpt = ckpt_lib.CheckpointManager(
+            _os.path.dirname(ckpt.path), _os.path.basename(ckpt.path) + ".preempt")
+        self._guard = None
+        self._boundary_snapshot = None
+        self._preempt_slot_epoch = None
 
     def train_epoch(self, epoch):
         from ssl4gie_tpu.core.logger import Throughput
@@ -340,6 +351,8 @@ class DetectionTrainer:
         epoch_keys = jax.random.split(
             jax.random.fold_in(self.root_key, epoch), 2 * n_steps)
         for step, batch in enumerate(it):
+            if self._guard is not None and self._guard.should_stop:
+                self._check_preempted(epoch - 1)
             kaug, kstep = epoch_keys[2 * step], epoch_keys[2 * step + 1]
             img, boxes = detection_augment(kaug, batch["image"],
                                            batch["gt_boxes"])
@@ -367,40 +380,94 @@ class DetectionTrainer:
                 "meta": {"epoch": epoch, "val_perf": val, "test_perf": test}}
 
     def maybe_resume(self):
-        if not self.ckpt.exists():
+        # prefer the `.preempt` slot when it records a LATER epoch than the
+        # best-val slot (same policy as core.trainer.Trainer.maybe_resume)
+        src = None
+        if self.ckpt.exists():
+            src = self.ckpt
+        if self.preempt_ckpt.exists():
+            pre = self.preempt_ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+            self._preempt_slot_epoch = int(pre["meta"]["epoch"])
+            if src is None:
+                src = self.preempt_ckpt
+            else:
+                best = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+                src = (self.preempt_ckpt
+                       if self._preempt_slot_epoch > int(best["meta"]["epoch"])
+                       else self.ckpt)
+        if src is None:
             return
-        restored = self.ckpt.restore(self._ckpt_tree(0, 0.0, 0.0))
+        restored = src.restore(self._ckpt_tree(0, 0.0, 0.0))
         self.state = (restored["params"], restored["opt_state"])
         self.batch_stats = restored["batch_stats"]
         self.start_epoch = int(restored["meta"]["epoch"]) + 1
         self.best_val = float(restored["meta"]["val_perf"])
+        self.logger.log({"resumed_from_epoch": self.start_epoch - 1,
+                         "best_val": self.best_val})
+
+    def _check_preempted(self, epoch):
+        """Save the requeue state (last COMPLETE epoch boundary) and stop.
+
+        Mirrors `core/trainer.py:_check_preempted`: the saved meta marks
+        `epoch` epochs complete; a mid-epoch signal saves the boundary
+        snapshot, not the in-flight params, so the interrupted epoch replays
+        deterministically (per-epoch RNG) — submitit requeue semantics
+        (`submitit_pretrain.py:60-70`)."""
+        from ssl4gie_tpu.core import checkpoint as ckpt_lib
+        from ssl4gie_tpu.core.preempt import Preempted
+        if self._guard is None or not self._guard.should_stop:
+            return
+        if ckpt_lib.is_primary():
+            tree = self._boundary_snapshot
+            if tree is None:
+                tree = self._ckpt_tree(
+                    epoch, self.best_val if self.best_val is not None else 0.0,
+                    0.0)
+            self.preempt_ckpt.save(tree)
+            self._preempt_slot_epoch = int(tree["meta"]["epoch"])
+        self.logger.log({"preempted_after_epoch": epoch},
+                        echo=f"preemption signal — state saved after epoch "
+                             f"{epoch}, exiting for requeue")
+        raise Preempted()
 
     def fit(self):
-        from ssl4gie_tpu.core import checkpoint as ckpt_lib
-        from ssl4gie_tpu.core.preempt import Preempted, PreemptionGuard
+        from ssl4gie_tpu.core.preempt import PreemptionGuard
         self.maybe_resume()
-        with PreemptionGuard() as guard:
-            for epoch in range(self.start_epoch, self.cfg.epochs + 1):
-                self.train_epoch(epoch)
-                val = self.evaluate(self.val_source, epoch, "val")
-                test = self.evaluate(self.test_source, epoch, "test")
-                if self.plateau is not None:
-                    new_lr = self.plateau.step(val, self._lr)
-                    if new_lr != self._lr:
-                        self._lr = new_lr
-                        from ssl4gie_tpu.core.train_state import set_lr
-                        self.state = (self.state[0], set_lr(self.state[1], new_lr))
-                        self.logger.log({"epoch": epoch, "lr_reduced_to": new_lr})
-                if self.best_val is None or val > self.best_val:
-                    self.best_val = val
-                    if ckpt_lib.is_primary():
-                        self.ckpt.save(self._ckpt_tree(epoch, val, test))
-                    self.logger.log({"epoch": epoch, "new_best_val_map": val,
-                                     "test_map_at_best": test})
-                if guard.should_stop:
-                    # best-val slot already on disk; epoch-boundary exit for
-                    # requeue (submitit_pretrain.py:60-70 equivalent)
-                    self.logger.log({"preempted_after_epoch": epoch},
-                                    echo="preemption signal — exiting for requeue")
-                    raise Preempted()
+        try:
+            with PreemptionGuard() as self._guard:
+                return self._fit()
+        finally:
+            self._guard = None
+
+    def _fit(self):
+        from ssl4gie_tpu.core import checkpoint as ckpt_lib
+        for epoch in range(self.start_epoch, self.cfg.epochs + 1):
+            self._boundary_snapshot = self._ckpt_tree(
+                epoch - 1, self.best_val if self.best_val is not None else 0.0,
+                0.0)
+            self._check_preempted(epoch - 1)
+            self.train_epoch(epoch)
+            val = self.evaluate(self.val_source, epoch, "val")
+            test = self.evaluate(self.test_source, epoch, "test")
+            if self.plateau is not None:
+                new_lr = self.plateau.step(val, self._lr)
+                if new_lr != self._lr:
+                    self._lr = new_lr
+                    from ssl4gie_tpu.core.train_state import set_lr
+                    self.state = (self.state[0], set_lr(self.state[1], new_lr))
+                    self.logger.log({"epoch": epoch, "lr_reduced_to": new_lr})
+            if self.best_val is None or val > self.best_val:
+                self.best_val = val
+                if ckpt_lib.is_primary():
+                    self.ckpt.save(self._ckpt_tree(epoch, val, test))
+                self.logger.log({"epoch": epoch, "new_best_val_map": val,
+                                 "test_map_at_best": test})
+            # drop a stale .preempt slot once this run has trained past it
+            if (self._preempt_slot_epoch is not None
+                    and epoch > self._preempt_slot_epoch):
+                if ckpt_lib.is_primary():
+                    self.preempt_ckpt.delete()
+                self._preempt_slot_epoch = None
+            # a signal that lands during eval is handled by the NEXT epoch's
+            # boundary check (fresh snapshot), like core.trainer._fit
         return self.best_val

@@ -112,3 +112,51 @@ def test_mid_epoch_preempt_saves_boundary_state():
         leaves_init = jax.tree_util.tree_leaves(init_params)
         for a, b in zip(leaves_saved, leaves_init):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_detection_trainer_preempt_saves_and_resumes():
+    """Detection variant of the requeue protocol: a mid-epoch signal saves the
+    last epoch BOUNDARY into the `.preempt` sibling slot, a relaunch resumes
+    past the completed epochs, and a run that trains past the slot deletes it
+    (parity with core.trainer.Trainer; `submitit_pretrain.py:60-70`)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = TrainConfig(
+            task=Task.DETECTION, architecture=Architecture.RESNET50,
+            epochs=2,
+            data=DataConfig(dataset="synthetic", batch_size=8, num_workers=2,
+                            img_size=128, synthetic=True, synthetic_size=16),
+            optim=OptimConfig(learning_rate=1e-4, use_plateau_scheduler=True),
+            runtime=RuntimeConfig(compute_dtype="float32", log_every=1),
+            ckpt_dir=os.path.join(tmp, "ckpt"),
+            log_dir=os.path.join(tmp, "logs"))
+        trainer = build_trainer(cfg)
+
+        orig_step = trainer.train_step
+        calls = {"n": 0}
+
+        def step_and_preempt(state, batch, rng):
+            calls["n"] += 1
+            if calls["n"] == 3:     # first step of epoch 2 (2 steps/epoch):
+                # the latch is polled at the NEXT step, mid-epoch
+                os.kill(os.getpid(), signal.SIGTERM)
+                signal.getsignal(signal.SIGTERM)
+            return orig_step(state, batch, rng)
+
+        trainer.train_step = step_and_preempt
+        with pytest.raises(Preempted):
+            trainer.fit()
+        assert trainer.preempt_ckpt.exists()
+        saved = trainer.preempt_ckpt.restore(trainer._ckpt_tree(0, 0.0, 0.0))
+        assert int(saved["meta"]["epoch"]) == 1   # epoch 1 complete, not the
+        # in-flight epoch-2 params
+
+        trainer2 = build_trainer(cfg)
+        trainer2.maybe_resume()
+        assert trainer2.start_epoch == 2
+
+        # relaunch-to-completion deletes the stale requeue slot
+        trainer3 = build_trainer(cfg)
+        best = trainer3.fit()
+        assert best is not None
+        assert not trainer3.preempt_ckpt.exists()
