@@ -8,6 +8,7 @@ Baseline: the build target of 4,000 images/sec/chip for ViT-B 224px finetune on
 TPU v5e (BASELINE.md north star).
 """
 
+import functools
 import json
 import sys
 import time
@@ -45,7 +46,7 @@ def main(with_loader: bool = False):
                         target_key="label",
                         loss_fn=lambda lg, lb: weighted_cross_entropy(lg, lb),
                         eval_metric_fn=None, eval_kind="accumulate_preds")
-    train_step = make_train_step(td, accum_steps=1)
+    train_step = make_train_step(td, accum_steps=1, top_level=False)
 
     rng_np = np.random.default_rng(0)
     img_u8 = jax.device_put(
@@ -67,7 +68,9 @@ def main(with_loader: bool = False):
         # call); on a TPU VM the two numbers converge.
         from ssl4gie_tpu.data.loader import (Loader, SyntheticSource,
                                              prefetch_to_device)
-        step_fn = jax.jit(full_step, donate_argnums=(0,))
+        from ssl4gie_tpu.core.xla_options import jit_kwargs
+        step_fn = jax.jit(full_step, donate_argnums=(0,),
+                          **jit_kwargs("classification"))
         n_steps = 20
         src = SyntheticSource(B * (n_steps + 2), size=224)
         loader = Loader(src, B, shuffle=False, drop_last=True, seed=0,
@@ -103,7 +106,8 @@ def main(with_loader: bool = False):
     # non-pipelined dispatch latency per python-level call (verified against the
     # profiler: device steps run back-to-back with 0 ms gaps), which on a real
     # TPU VM host is microseconds. The scan measures hardware throughput.
-    @jax.jit
+    from ssl4gie_tpu.core.xla_options import jit_kwargs
+    @functools.partial(jax.jit, **jit_kwargs("classification"))
     def run(state, img_u8, labels, key):
         def body(st, k):
             st, m = full_step(st, img_u8, labels, k)

@@ -1,5 +1,7 @@
 """ViT-Det 1024px detection train-step bench (B=2), scan-in-one-jit."""
 import time
+import functools
+
 import jax, jax.numpy as jnp, numpy as np
 from ssl4gie_tpu.core.train_state import make_adamw
 from ssl4gie_tpu.models.faster_rcnn import FasterRCNN
@@ -18,14 +20,18 @@ variables = model.init({"params": rng, "sampler": rng}, img, gtb, gtl, gtv,
 params = variables["params"]
 tx = make_adamw(1e-4)
 state = (params, tx.init(params))
-step = make_detection_train_step(model, tx, 1, variables.get("batch_stats"))
+step = make_detection_train_step(model, tx, 1, variables.get("batch_stats"),
+                                 top_level=False)
 
 rng_np = np.random.default_rng(0)
 batch = {"image": jnp.asarray(rng_np.random((B, S, S, 3)).astype(np.float32)),
          "gt_boxes": gtb, "gt_labels": gtl, "gt_valid": gtv}
 
 n = 10
-@jax.jit
+from ssl4gie_tpu.core.xla_options import jit_kwargs
+
+
+@functools.partial(jax.jit, **jit_kwargs("detection"))
 def run(state, key):
     def body(st, k):
         st, m = step(st, batch, k)

@@ -1,4 +1,6 @@
 import time
+import functools
+
 import jax, jax.numpy as jnp, numpy as np
 from ssl4gie_tpu.core.train_state import TrainState, make_adamw
 from ssl4gie_tpu.core.trainer import TaskDefinition, make_train_step
@@ -21,13 +23,16 @@ td = TaskDefinition(name="segmentation", aug_mode="segmentation",
                     target_key="mask", loss_fn=soft_dice_loss,
                     eval_metric_fn=None, eval_kind="batch_metric",
                     has_dropout=True)
-train_step = make_train_step(td, accum_steps=1)
+train_step = make_train_step(td, accum_steps=1, top_level=False)
 rng_np = np.random.default_rng(0)
 img_u8 = jax.device_put(rng_np.integers(0, 256, (B, 224, 224, 3), dtype=np.uint8))
 mask = jax.device_put((rng_np.random((B, 224, 224, 1)) > 0.5).astype(np.float32))
 
 n = 10
-@jax.jit
+from ssl4gie_tpu.core.xla_options import jit_kwargs
+
+
+@functools.partial(jax.jit, **jit_kwargs("segmentation"))
 def run(state, img_u8, mask, key):
     def body(st, k):
         ka, ks = jax.random.split(k)

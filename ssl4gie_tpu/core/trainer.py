@@ -50,8 +50,13 @@ class TaskDefinition:
     mixup_fn: Optional[Callable] = None
 
 
-def make_train_step(task: TaskDefinition, accum_steps: int = 1):
-    """Build the jitted SPMD train step."""
+def make_train_step(task: TaskDefinition, accum_steps: int = 1,
+                    top_level: bool = True):
+    """Build the jitted SPMD train step.
+
+    top_level=False skips the TPU compiler options (jax only allows
+    compiler_options on the outermost jit) for callers that wrap this
+    step inside their own jit/scan (bench.py, __graft_entry__)."""
 
     def loss_for_params(params, state, batch, rng):
         variables = {"params": params}
@@ -98,7 +103,9 @@ def make_train_step(task: TaskDefinition, accum_steps: int = 1):
         new_state = state.apply_gradients(grads, batch_stats=new_bs)
         return new_state, {"loss": loss}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    from ssl4gie_tpu.core.xla_options import jit_kwargs
+    return jax.jit(train_step, donate_argnums=(0,),
+                   **(jit_kwargs(task.name) if top_level else {}))
 
 
 def make_eval_step(task: TaskDefinition):

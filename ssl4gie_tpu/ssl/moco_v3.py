@@ -178,6 +178,8 @@ def make_moco_train_step(encoder: MoCoEncoder, predictor: MoCoPredictor,
                                   batch_stats=new_stats,
                                   momentum_batch_stats=mom_stats,
                                   opt_state=new_opt)
-        return new_state, {"loss": loss}
+        # grad_norm reported like the reference's NativeScalerWithGradNormCount
+        # (`Models/mae/util/misc.py:251-292`; main_moco.py logs through it too)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return jax.jit(train_step, donate_argnums=(0,))

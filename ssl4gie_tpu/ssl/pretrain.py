@@ -31,6 +31,7 @@ from ssl4gie_tpu.core.logger import (MetricsLogger, Throughput,
                                      peak_memory_mb)
 from ssl4gie_tpu.core.mesh import make_mesh, replicated
 from ssl4gie_tpu.core.schedule import cosine_momentum
+from ssl4gie_tpu.core.xla_options import jit_kwargs
 from ssl4gie_tpu.data.loader import Loader, Source
 from ssl4gie_tpu.data.ssl_augment import mae_augment, moco_two_crops
 from ssl4gie_tpu.ssl.lars import lars
@@ -144,8 +145,11 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
             updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
             new_params = optax.apply_updates(state["params"], updates)
+            # grad_norm each step, like the reference's
+            # NativeScalerWithGradNormCount (`Models/mae/util/misc.py:251-292`)
             return ({"params": new_params, "opt_state": new_opt,
-                     "step": state["step"] + 1}, {"loss": loss})
+                     "step": state["step"] + 1},
+                    {"loss": loss, "grad_norm": optax.global_norm(grads)})
 
         def save(state, epoch):
             if not ckpt_lib.is_primary():
@@ -301,6 +305,10 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
     K = max(1, min(int(getattr(cfg.runtime, "scan_steps", 8) or 1),
                    steps_per_epoch))
 
+    # no TPU compiler-options override here: the 48 MiB scoped-vmem cap that
+    # speeds the finetune programs +3% SLOWS the MAE pretrain program ~3%
+    # (201.5 vs 195.3 ms/step measured, benchmarks/bench_mae_pretrain.py);
+    # MoCo was within noise. Force via SSL4GIE_XLA_OPTIONS if desired.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, imgs, keys):
         # imgs: LIST of (B, ...) batches — stacked here (cheap HBM traffic)
@@ -310,7 +318,7 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
         def body(st, xs):
             img, k = xs
             st, m = train_step(st, img, k)
-            return st, m["loss"]
+            return st, (m["loss"], m.get("grad_norm", jnp.zeros(())))
         return jax.lax.scan(body, state, (stacked, keys))
 
     with PreemptionGuard() as guard:
@@ -337,15 +345,17 @@ def run_loop(cfg, mesh, loader, train_step, save, logger, root_key, *, state,
                     raise Preempted()
                 imgs = [b["image"] for b in chunk]
                 bsz = imgs[0].shape[0]    # read before donation invalidates
-                state, losses = run_chunk(state, imgs,
-                                          epoch_keys[step:step + klen])
+                state, (losses, gnorms) = run_chunk(state, imgs,
+                                                    epoch_keys[step:step + klen])
                 meter.update(klen * bsz, steps=klen)
                 if (step + klen) // log_every > step // log_every:
                     losses_np = np.asarray(losses)   # one sync per logged chunk
+                    gnorms_np = np.asarray(gnorms)
                     for j in range(klen):
                         if (step + j + 1) % log_every == 0:
                             logger.log({"epoch": epoch, "step": step + j + 1,
                                         "loss": float(losses_np[j]),
+                                        "grad_norm": float(gnorms_np[j]),
                                         **meter.rates(
                                             steps_per_epoch - (step + j + 1))})
                 step += klen

@@ -208,7 +208,11 @@ def detection_augment(key, img_u8, gt_boxes):
 
 # ------------------------------------------------------------ train/eval steps
 
-def make_detection_train_step(model, tx, accum_steps: int = 1, batch_stats=None):
+def make_detection_train_step(model, tx, accum_steps: int = 1, batch_stats=None,
+                              top_level: bool = True):
+    # top_level=False skips the TPU compiler options for callers that wrap
+    # this step in their own jit (jax restricts compiler_options to the
+    # outermost jit)
     # batch_stats (RN50 backbone) are FROZEN at their loaded values, matching
     # torchvision FrozenBatchNorm2d — they ride along as constants.
     def loss_fn(params, batch, key):
@@ -224,7 +228,9 @@ def make_detection_train_step(model, tx, accum_steps: int = 1, batch_stats=None)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    from ssl4gie_tpu.core.xla_options import jit_kwargs
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       **(jit_kwargs("detection") if top_level else {}))
     def train_step(state, batch, key):
         params, opt_state = state
         if accum_steps == 1:
