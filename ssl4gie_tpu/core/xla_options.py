@@ -13,8 +13,11 @@ benches), capping scoped VMEM at 48 MiB vs the default:
 - ViT-B 224 classification aug+train: 120.6 -> 116.5 ms/step (+3.5%) — flat
   plateau 32-48 MiB, the MLP fwd+bwd fusions pick deeper tiles without spills
 - ViT-Det 1024 detection train step: 178 -> 175.4 ms (+1.5%)
-- Seg ViT-B+DPT 224: 116.2 -> 119.5 ms (-3%) -> NOT applied
-- MAE pretrain B=256: 195.3 -> 201.5 ms (-3%) -> NOT applied (MoCo: noise)
+- Seg ViT-B+DPT 224: 116.2 -> 119.5 ms (-3%) -> NOT applied (32 MiB read
+  115.5 once — sub-noise; 24 MiB 118.8)
+- MAE pretrain B=256: 195.3 -> 201.5 ms (-3%) -> NOT applied (MoCo: noise;
+  128 MiB == default's 195.3, 96 MiB 197.2 — the compiler default is already
+  MAE-optimal)
 
 Override / disable globally with SSL4GIE_XLA_OPTIONS:
   SSL4GIE_XLA_OPTIONS=none                          # disable entirely
