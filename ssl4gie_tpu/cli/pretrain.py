@@ -16,7 +16,8 @@ def main():
                    choices=["mae", "mocov3"])
     p.add_argument("--architecture", "--arch", type=str, default="vit_b",
                    choices=["resnet50", "vit_b", "vit_s", "vit_conv_s",
-                            "vit_conv_b"], dest="architecture")
+                            "vit_conv_b", "vit_l", "vit_h"],
+                   dest="architecture")
     p.add_argument("--data-root", type=str, default="", dest="data_root")
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--warmup-epochs", type=int, default=40, dest="warmup_epochs")
@@ -40,9 +41,15 @@ def main():
 
     fw = SSLFramework(args.framework)
     arch = Architecture(args.architecture)
-    if fw == SSLFramework.MAE and arch != Architecture.VIT_B:
-        p.error("MAE pretraining is ViT-B only (the MoCo ViT variants are "
-                "mocov3-specific, `Models/moco_v3/vits.py`)")
+    mae_archs = (Architecture.VIT_B, Architecture.VIT_L, Architecture.VIT_H)
+    if fw == SSLFramework.MAE and arch not in mae_archs:
+        p.error("MAE pretraining takes vit_b/vit_l/vit_h "
+                "(`Models/mae/models_mae.py:223-250`; the MoCo ViT variants "
+                "are mocov3-specific, `Models/moco_v3/vits.py`)")
+    if fw == SSLFramework.MOCOV3 and arch in (Architecture.VIT_L,
+                                               Architecture.VIT_H):
+        p.error("vit_l/vit_h are MAE size presets; MoCo v3 takes "
+                "resnet50/vit_s/vit_b/vit_conv_s/vit_conv_b")
     # reference defaults: MAE blr 1.5e-4 wd 0.05 (main_pretrain.py); MoCo ViT AdamW
     # lr 1.5e-4 wd 0.1, MoCo RN50 LARS lr 0.3 wd 1.5e-6 (main_moco.py:81-104)
     if fw == SSLFramework.MAE:

@@ -21,6 +21,10 @@ class Architecture(str, enum.Enum):
     VIT_S = "vit_s"
     VIT_CONV_S = "vit_conv_s"
     VIT_CONV_B = "vit_conv_b"
+    # MAE pretrain-only size presets (`Models/mae/models_mae.py:223-250`:
+    # mae_vit_{base,large,huge}); SSL4GIE's published recipe uses vit_b
+    VIT_L = "vit_l"
+    VIT_H = "vit_h"
 
 
 class Pretraining(str, enum.Enum):

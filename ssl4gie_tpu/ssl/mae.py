@@ -69,6 +69,16 @@ def random_masking(rng, x, mask_ratio: float):
     return x_masked, mask, ids_restore
 
 
+# Size presets matching the reference factories (`Models/mae/models_mae.py:
+# 223-250`: mae_vit_{base,large,huge}_patch{16,16,14}_dec512d8b). All share the
+# 512-wide / 8-deep / 16-head decoder. SSL4GIE's published recipe uses vit_b.
+MAE_SIZES = {
+    "vit_b": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "vit_l": dict(patch_size=16, embed_dim=1024, depth=24, num_heads=16),
+    "vit_h": dict(patch_size=14, embed_dim=1280, depth=32, num_heads=16),
+}
+
+
 class MAE(nn.Module):
     """Encoder+decoder; returns (loss, pred, mask)."""
     img_size: int = 224

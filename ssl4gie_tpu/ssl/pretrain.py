@@ -35,7 +35,7 @@ from ssl4gie_tpu.core.xla_options import jit_kwargs
 from ssl4gie_tpu.data.loader import Loader, Source
 from ssl4gie_tpu.data.ssl_augment import mae_augment, moco_two_crops
 from ssl4gie_tpu.ssl.lars import lars
-from ssl4gie_tpu.ssl.mae import MAE
+from ssl4gie_tpu.ssl.mae import MAE, MAE_SIZES
 from ssl4gie_tpu.ssl.moco_v3 import (MoCoEncoder, MoCoPredictor, MoCoState,
                                      make_moco_train_step)
 
@@ -119,8 +119,12 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
         cfg.ckpt_dir, f"{cfg.framework.value}_{cfg.architecture.value}.resume")
 
     if cfg.framework == SSLFramework.MAE:
+        # architecture -> reference size preset (models_mae.py:223-250);
+        # cfg.model_kwargs overrides win (tiny test models)
+        size = dict(MAE_SIZES.get(cfg.architecture.value, {}))
+        size.update(cfg.model_kwargs)
         model = MAE(img_size=cfg.img_size, norm_pix_loss=cfg.norm_pix_loss,
-                    mask_ratio=cfg.mask_ratio, dtype=dtype, **cfg.model_kwargs)
+                    mask_ratio=cfg.mask_ratio, dtype=dtype, **size)
         sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
         variables = jax.jit(functools.partial(model.init, train=True))(
             {"params": root_key, "mask": root_key}, sample)

@@ -326,3 +326,42 @@ def test_random_resized_crop_matmul_bilinear_exact():
                 bot = im[b, yi1, xi] * (1 - fx) + im[b, yi1, xi1] * fx
                 ref[b, yo, xo] = top * (1 - fy) + bot * fy
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mae_size_presets_param_counts():
+    """MAE_SIZES must reproduce the reference factories
+    (`Models/mae/models_mae.py:223-250`). Golden totals = the published torch
+    parameter counts (111.91M / 329.54M / 657.07M) minus the sin-cos pos
+    embeds, which torch stores as (frozen) nn.Parameters while we keep them as
+    compile-time constants: e.g. vit_b 111,655,680 + 197*768 + 197*512 =
+    111,907,840. Counted via eval_shape (no allocation)."""
+    import functools
+
+    from ssl4gie_tpu.ssl.mae import MAE_SIZES
+
+    golden = {"vit_b": 111_655_680, "vit_l": 329_239_296,
+              "vit_h": 656_613_964}
+    for name, kw in MAE_SIZES.items():
+        model = MAE(**kw)
+        sample = jax.ShapeDtypeStruct((2, 224, 224, 3), jnp.float32)
+        var = jax.eval_shape(
+            functools.partial(model.init, train=True),
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(0)},
+            sample)
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(var["params"]))
+        assert n == golden[name], (name, n)
+
+
+def test_mae_architecture_preset_dispatch():
+    """run_pretraining maps --architecture to the size preset; model_kwargs
+    overrides still win (this is how the tiny e2e tests shrink the model)."""
+    from ssl4gie_tpu.ssl.mae import MAE_SIZES
+
+    assert set(MAE_SIZES) == {"vit_b", "vit_l", "vit_h"}
+    assert MAE_SIZES["vit_l"] == dict(patch_size=16, embed_dim=1024,
+                                      depth=24, num_heads=16)
+    assert MAE_SIZES["vit_h"] == dict(patch_size=14, embed_dim=1280,
+                                      depth=32, num_heads=16)
+    size = dict(MAE_SIZES["vit_l"])
+    size.update({"depth": 2})
+    assert size["depth"] == 2 and size["embed_dim"] == 1024
