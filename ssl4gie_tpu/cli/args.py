@@ -63,6 +63,10 @@ def add_train(p: argparse.ArgumentParser):
     p.add_argument("--smoothing", type=float, default=0.0, dest="label_smoothing",
                    help="label smoothing (classification; MAE finetune used 0.1)")
     p.add_argument("--ckpt-dir", type=str, default="Trained models", dest="ckpt_dir")
+    p.add_argument("--tensor-parallel", "--tp", type=int, default=1,
+                   dest="tensor_parallel",
+                   help="model-axis size for Megatron-style ViT tensor "
+                        "parallelism (beyond-reference; must divide num_heads)")
 
 
 def to_train_config(args) -> TrainConfig:
@@ -92,7 +96,8 @@ def to_train_config(args) -> TrainConfig:
             cutmix=getattr(args, "cutmix", 0.0),
             label_smoothing=getattr(args, "label_smoothing", 0.0)),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
-                              tensorboard=getattr(args, "tensorboard", False)),
+                              tensorboard=getattr(args, "tensorboard", False),
+                              tensor_parallel=getattr(args, "tensor_parallel", 1)),
         ckpt_dir=getattr(args, "ckpt_dir", "Trained models"),
         log_dir=getattr(args, "ckpt_dir", "Trained models"),
     )

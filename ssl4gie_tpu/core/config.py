@@ -117,6 +117,9 @@ class RuntimeConfig:
     seed: int = 42                     # the reference seeds python/numpy/torch with 42
     mesh_shape: Optional[tuple] = None  # None -> 1-D data mesh over all devices
     mesh_axes: tuple = ("data",)
+    # >1 -> 2-D (data, model) mesh with Megatron-style ViT param sharding
+    # (parallel/tp.py; beyond-reference extension, must divide num_heads)
+    tensor_parallel: int = 1
     compute_dtype: str = "bfloat16"    # AMP equivalent: bf16 compute, fp32 params/opt
     donate_state: bool = True
     log_every: int = 10

@@ -330,6 +330,14 @@ class Trainer:
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             batch_stats=restored["batch_stats"])
+        # re-place the restored host arrays with the same layout the build
+        # chose (replicated for DP; Megatron ViT sharding when the mesh has a
+        # model axis) so resume keeps the tensor-parallel placement
+        if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+            from ssl4gie_tpu.parallel.tp import place_tp
+            self.state = place_tp(self.state, self.mesh)
+        else:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
         meta = restored["meta"]
         self.start_epoch = int(meta["epoch"]) + 1
         self.best_val = float(meta["val_perf"])

@@ -1,0 +1,76 @@
+"""Tensor parallelism for the ViT path (GSPMD param-sharding rules).
+
+Beyond-reference extension: the reference scales only by data parallelism
+(SURVEY.md §2.8 — TP/PP absent), which is all ViT-B needs for parity. This
+module adds the standard Megatron-style sharding over a second mesh axis
+("model") for when the framework is used with larger encoders (e.g. the MAE
+vit_l/vit_h presets) or small per-chip batches:
+
+- `attn/qkv` kernel column-sharded, `attn/proj` kernel row-sharded: each model
+  shard computes a contiguous slice of the packed [q|k|v] columns; XLA inserts
+  the (small) reshard at the q/k/v split so the per-head attention runs fully
+  partitioned, and the psum after `proj` restores replicated activations.
+- `mlp/fc1` column- / `mlp/fc2` row-sharded: the classic two-GEMM split with
+  one psum after fc2.
+- Everything else (LayerNorms, pos embed, patch embed, heads, BN) replicated —
+  on those, the model axis behaves like extra data parallelism.
+
+Pure GSPMD: no collectives are written by hand. Placing the parameters (and
+their optimizer-state mirrors) with these shardings is the whole mechanism —
+`jax.jit` propagates the layouts through the step function and inserts the
+all-reduces over ICI. The math is bit-identical to DP up to float reduction
+order (tested: DP8 == DP4xTP2 on a virtual CPU mesh, `tests/test_tp.py`).
+
+Constraint: the model axis size must divide num_heads (and therefore the head
+bias/kernel column counts) — 12 for ViT-B, so tp in {2, 3, 4, 6, 12}.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-suffix, PartitionSpec) — first match wins; default replicated.
+TP_RULES: Sequence[Tuple[str, P]] = (
+    ("attn/qkv/kernel", P(None, "model")),
+    ("attn/qkv/bias", P("model")),
+    ("attn/proj/kernel", P("model", None)),
+    ("mlp/fc1/kernel", P(None, "model")),
+    ("mlp/fc1/bias", P("model")),
+    ("mlp/fc2/kernel", P("model", None)),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+
+def tp_spec(path_str: str) -> P:
+    for suffix, spec in TP_RULES:
+        if path_str.endswith(suffix):
+            return spec
+    return P()
+
+
+def tp_sharding_tree(tree, mesh: Mesh):
+    """A pytree of NamedShardings mirroring `tree` (params OR a whole
+    TrainState — optimizer-state mirrors share the param path suffixes, so the
+    same rules place mu/nu consistently with their parameters)."""
+    def one(path, x):
+        spec = tp_spec(_path_str(path))
+        if getattr(x, "ndim", 0) < len(spec):   # scalar/step counters etc.
+            spec = P()
+        return NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def place_tp(tree, mesh: Mesh):
+    """device_put `tree` with TP shardings (model axis) + replication (rest).
+
+    Batch sharding stays on the "data" axis (core.mesh.data_sharding); this
+    only changes where parameters and optimizer state live."""
+    if "model" not in mesh.axis_names:
+        raise ValueError("place_tp needs a mesh with a 'model' axis")
+    return jax.device_put(tree, tp_sharding_tree(tree, mesh))

@@ -129,7 +129,15 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
 
 def build_trainer(cfg: TrainConfig):
     cfg.validate()
-    mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
+    tp = getattr(cfg.runtime, "tensor_parallel", 1)
+    if tp > 1 and cfg.runtime.mesh_shape is None:
+        import jax as _jax
+        n = len(_jax.devices())
+        if n % tp != 0:
+            raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
+        mesh = make_mesh((n // tp, tp), ("data", "model"))
+    else:
+        mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
     from ssl4gie_tpu.core.mesh import local_batch_size
     local_batch_size(cfg.data.batch_size, mesh)   # divisibility check (clear error)
     if cfg.task == Task.DETECTION:
@@ -189,7 +197,11 @@ def build_trainer(cfg: TrainConfig):
             tx = make_frozen_tx(tx, params, trainable)
 
     state = TrainState.create(model.apply, params, tx, batch_stats)
-    state = jax.device_put(state, replicated(mesh))
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        from ssl4gie_tpu.parallel.tp import place_tp
+        state = place_tp(state, mesh)       # Megatron-style ViT TP (GSPMD)
+    else:
+        state = jax.device_put(state, replicated(mesh))
 
     bs = cfg.data.batch_size
     train_loader = Loader(train_src, bs, shuffle=True, drop_last=True,

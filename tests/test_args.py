@@ -43,3 +43,13 @@ def test_scheduler_explicit_value_still_accepted():
     off = to_train_config(parse(base + ["--lrs", "false"]))
     assert on.optim.use_plateau_scheduler is True
     assert off.optim.use_plateau_scheduler is False
+
+
+def test_tensor_parallel_flag_plumbs_to_runtime():
+    cfg = to_train_config(parse(["--task", "classification",
+                                 "--dataset", "synthetic", "--data-root", "/d",
+                                 "--tensor-parallel", "2"]))
+    assert cfg.runtime.tensor_parallel == 2
+    cfg = to_train_config(parse(["--task", "classification",
+                                 "--dataset", "synthetic", "--data-root", "/d"]))
+    assert cfg.runtime.tensor_parallel == 1

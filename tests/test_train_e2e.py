@@ -77,3 +77,21 @@ def test_depth_e2e_vit():
         trainer = build_trainer(cfg)
         best = trainer.fit()
         assert best >= 0.0
+
+
+def test_classification_e2e_tensor_parallel():
+    """--tensor-parallel 2: (4, 2) (data, model) mesh, Megatron ViT sharding
+    through build_trainer, one full fit epoch (beyond-reference extension)."""
+    from jax.sharding import PartitionSpec as P
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tiny_config(Task.CLASSIFICATION, Architecture.VIT_B, tmp,
+                          epochs=1)
+        cfg.runtime.tensor_parallel = 2
+        trainer = build_trainer(cfg)
+        assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+        qkv = trainer.state.params["backbone"]["blocks_0"]["attn"]["qkv"]
+        assert qkv["kernel"].sharding.spec == P(None, "model")
+        assert qkv["bias"].sharding.spec == P("model")
+        best = trainer.fit()
+        assert best is not None and 0.0 <= best <= 1.0
