@@ -37,6 +37,11 @@ def main():
     p.add_argument("--ckpt-dir", type=str, default="Pretrained models",
                    dest="ckpt_dir")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tensor-parallel", "--tp", type=int, default=1,
+                   dest="tensor_parallel",
+                   help="model-axis size for Megatron-style ViT tensor "
+                        "parallelism (beyond-reference; must divide the "
+                        "encoder AND decoder head counts)")
     args = p.parse_args()
 
     fw = SSLFramework(args.framework)
@@ -72,7 +77,8 @@ def main():
         norm_pix_loss=not args.no_norm_pix, moco_momentum=args.moco_m,
         moco_temperature=args.moco_t, optimizer=opt,
         data=DataConfig(data_root=args.data_root, synthetic=args.synthetic),
-        runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype),
+        runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
+                              tensor_parallel=args.tensor_parallel),
         ckpt_dir=args.ckpt_dir)
 
     from ssl4gie_tpu.core.mesh import maybe_init_distributed

@@ -89,7 +89,24 @@ def discover_unlabeled(root: str):
 
 
 def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int] = None):
-    mesh = make_mesh()
+    tp = getattr(cfg.runtime, "tensor_parallel", 1)
+    if tp > 1:
+        # beyond-reference: Megatron-style ViT sharding for the big MAE
+        # presets (vit_l/vit_h); the TP_RULES suffixes match the MAE decoder
+        # blocks too (decoder_blocks_i/attn|mlp/...). tp must divide both
+        # encoder and decoder head counts (2 or 4 for the stock presets).
+        n = len(jax.devices())
+        if n % tp != 0:
+            raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
+        mesh = make_mesh((n // tp, tp), ("data", "model"))
+    else:
+        mesh = make_mesh()
+
+    def _place(tree):
+        if tp > 1:
+            from ssl4gie_tpu.parallel.tp import place_tp
+            return place_tp(tree, mesh)
+        return jax.device_put(tree, replicated(mesh))
     logger = MetricsLogger(cfg.ckpt_dir, f"pretrain_{cfg.framework.value}_"
                                          f"{cfg.architecture.value}",
                            tb=cfg.runtime.tensorboard)
@@ -134,7 +151,7 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
         opt_state = tx.init(params)
         state = {"params": params, "opt_state": opt_state,
                  "step": jnp.zeros((), jnp.int32)}
-        state = jax.device_put(state, replicated(mesh))
+        state = _place(state)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, img_u8, key):
@@ -168,7 +185,7 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
         if resume_ckpt.exists():
             restored = resume_ckpt.restore(
                 {"state": ckpt_lib.host_tree(state), "meta": {"epoch": 0}})
-            state = jax.device_put(restored["state"], replicated(mesh))
+            state = _place(restored["state"])
             start_epoch = int(restored["meta"]["epoch"]) + 1
             logger.log({"resumed_from_epoch": start_epoch - 1},
                        echo=f"resuming MAE pretraining at epoch {start_epoch}")
@@ -217,7 +234,7 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
                       momentum_batch_stats=jax.tree_util.tree_map(
                           jnp.copy, stats["encoder"]),
                       opt_state=tx.init(params), tx=tx)
-    state = jax.device_put(state, replicated(mesh))
+    state = _place(state)
     moco_step = make_moco_train_step(encoder, predictor, cfg.moco_temperature)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -248,8 +265,7 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     if resume_ckpt.exists():
         restored = resume_ckpt.restore(
             {"state": ckpt_lib.host_tree(moco_tree(state)), "meta": {"epoch": 0}})
-        state = state.replace(**jax.device_put(restored["state"],
-                                               replicated(mesh)))
+        state = state.replace(**_place(restored["state"]))
         start_epoch = int(restored["meta"]["epoch"]) + 1
         logger.log({"resumed_from_epoch": start_epoch - 1},
                    echo=f"resuming MoCo pretraining at epoch {start_epoch}")

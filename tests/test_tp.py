@@ -117,3 +117,49 @@ def test_tp_sharding_tree_handles_opt_state_mirrors():
     scalars = [s.spec for p, s in flat if "count" in str(p).lower()]
     from jax.sharding import PartitionSpec as P
     assert all(spec == P() for spec in scalars)
+
+
+@pytest.mark.slow
+def test_mae_pretrain_tp_equivalence():
+    """run_pretraining with tensor_parallel=2: (4, 2) mesh, MAE encoder AND
+    decoder blocks sharded, final encoder params ~= the DP run's (identical
+    init; tolerance covers adamw's noise amplification on near-zero-grad
+    elements — a real sharding bug produces O(param)-scale differences)."""
+    import os
+    import tempfile
+
+    import ssl4gie_tpu.ssl.pretrain as pre
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+    from ssl4gie_tpu.core.config import (Architecture, DataConfig,
+                                         PretrainConfig, RuntimeConfig,
+                                         SSLFramework)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def cfg(tmp, tp):
+        return PretrainConfig(
+            framework=SSLFramework.MAE, architecture=Architecture.VIT_B,
+            epochs=2, warmup_epochs=0, batch_size=8, img_size=32,
+            model_kwargs=dict(embed_dim=64, depth=2, num_heads=2,
+                              decoder_embed_dim=32, decoder_depth=1,
+                              decoder_num_heads=2),
+            data=DataConfig(synthetic=True, synthetic_size=16, num_workers=2),
+            runtime=RuntimeConfig(compute_dtype="float32", log_every=1,
+                                  scan_steps=1, tensor_parallel=tp),
+            ckpt_dir=os.path.join(tmp, "pre"))
+
+    def run(tmp, tp):
+        path = pre.run_pretraining(cfg(tmp, tp))
+        mgr = ckpt_lib.CheckpointManager(os.path.dirname(path),
+                                         os.path.basename(path))
+        return mgr.restore()["params"]
+
+    with tempfile.TemporaryDirectory() as ta, \
+            tempfile.TemporaryDirectory() as tb:
+        p_dp = jax.tree_util.tree_leaves(run(ta, 1))
+        p_tp = jax.tree_util.tree_leaves(run(tb, 2))
+        assert len(p_dp) == len(p_tp)
+        for a, b in zip(p_dp, p_tp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=5e-5)
