@@ -131,6 +131,15 @@ def build_trainer(cfg: TrainConfig):
     cfg.validate()
     tp = getattr(cfg.runtime, "tensor_parallel", 1)
     if tp > 1 and cfg.runtime.mesh_shape is None:
+        from ssl4gie_tpu.core.config import Architecture
+        if cfg.task == Task.DETECTION or cfg.architecture == Architecture.RESNET50:
+            # RN50 has no TP rules (conv/BN params replicated -> the model
+            # axis would silently duplicate compute); detection's windowed
+            # Pallas kernel consumes replicated activations, defeating TP.
+            raise ValueError("--tensor-parallel supports the ViT dense/pooled "
+                             "tasks (classification/segmentation/depth) and "
+                             "SSL pretraining; use pure data parallelism for "
+                             f"{cfg.task.value}/{cfg.architecture.value}")
         import jax as _jax
         n = len(_jax.devices())
         if n % tp != 0:

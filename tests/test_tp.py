@@ -163,3 +163,27 @@ def test_mae_pretrain_tp_equivalence():
         for a, b in zip(p_dp, p_tp):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0, atol=5e-5)
+
+
+def test_tp_rejects_unsupported_combinations():
+    import os
+    import tempfile
+
+    from ssl4gie_tpu.core.config import (Architecture, DataConfig, OptimConfig,
+                                         RuntimeConfig, Task, TrainConfig)
+    from ssl4gie_tpu.tasks import build_trainer
+
+    def cfg(task, arch, tmp):
+        return TrainConfig(
+            task=task, architecture=arch, epochs=1,
+            data=DataConfig(dataset="synthetic", batch_size=8, img_size=64,
+                            synthetic=True, synthetic_size=16),
+            optim=OptimConfig(learning_rate=1e-3),
+            runtime=RuntimeConfig(compute_dtype="float32", tensor_parallel=2),
+            ckpt_dir=os.path.join(tmp, "c"), log_dir=os.path.join(tmp, "l"))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with pytest.raises(ValueError, match="tensor-parallel"):
+            build_trainer(cfg(Task.CLASSIFICATION, Architecture.RESNET50, tmp))
+        with pytest.raises(ValueError, match="tensor-parallel"):
+            build_trainer(cfg(Task.DETECTION, Architecture.VIT_B, tmp))
