@@ -67,6 +67,9 @@ def add_train(p: argparse.ArgumentParser):
                    dest="tensor_parallel",
                    help="model-axis size for Megatron-style ViT tensor "
                         "parallelism (beyond-reference; must divide num_heads)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP-style param+optimizer sharding over the "
+                        "data axis (beyond-reference; composes with --tp)")
 
 
 def to_train_config(args) -> TrainConfig:
@@ -97,7 +100,8 @@ def to_train_config(args) -> TrainConfig:
             label_smoothing=getattr(args, "label_smoothing", 0.0)),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
                               tensorboard=getattr(args, "tensorboard", False),
-                              tensor_parallel=getattr(args, "tensor_parallel", 1)),
+                              tensor_parallel=getattr(args, "tensor_parallel", 1),
+                              fsdp=getattr(args, "fsdp", False)),
         ckpt_dir=getattr(args, "ckpt_dir", "Trained models"),
         log_dir=getattr(args, "ckpt_dir", "Trained models"),
     )

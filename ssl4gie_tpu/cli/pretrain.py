@@ -42,6 +42,9 @@ def main():
                    help="model-axis size for Megatron-style ViT tensor "
                         "parallelism (beyond-reference; must divide the "
                         "encoder AND decoder head counts)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP-style param+optimizer sharding over the "
+                        "data axis (beyond-reference; composes with --tp)")
     args = p.parse_args()
 
     fw = SSLFramework(args.framework)
@@ -78,7 +81,8 @@ def main():
         moco_temperature=args.moco_t, optimizer=opt,
         data=DataConfig(data_root=args.data_root, synthetic=args.synthetic),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
-                              tensor_parallel=args.tensor_parallel),
+                              tensor_parallel=args.tensor_parallel,
+                              fsdp=args.fsdp),
         ckpt_dir=args.ckpt_dir)
 
     from ssl4gie_tpu.core.mesh import maybe_init_distributed

@@ -120,6 +120,9 @@ class RuntimeConfig:
     # >1 -> 2-D (data, model) mesh with Megatron-style ViT param sharding
     # (parallel/tp.py; beyond-reference extension, must divide num_heads)
     tensor_parallel: int = 1
+    # ZeRO/FSDP-style param+optimizer sharding over the data axis (shape-
+    # based, composes with tensor_parallel into hybrid 2-D sharding)
+    fsdp: bool = False
     compute_dtype: str = "bfloat16"    # AMP equivalent: bf16 compute, fp32 params/opt
     donate_state: bool = True
     log_every: int = 10

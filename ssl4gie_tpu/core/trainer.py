@@ -147,10 +147,13 @@ class Trainer:
                  epochs: int, accum_steps: int = 1, seed: int = 42,
                  plateau: Optional[ReduceLROnPlateau] = None,
                  eval_finalize: Optional[Callable] = None,
-                 log_every: int = 10):
+                 log_every: int = 10, place_fn: Optional[Callable] = None):
         self.task = task
         self.state = state
         self.mesh = mesh
+        # the state-placement policy (replicated / TP / FSDP), reused on resume
+        self.place_fn = place_fn or (
+            lambda tree: jax.device_put(tree, replicated(mesh)))
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.test_loader = test_loader
@@ -331,13 +334,8 @@ class Trainer:
             params=restored["params"], opt_state=restored["opt_state"],
             batch_stats=restored["batch_stats"])
         # re-place the restored host arrays with the same layout the build
-        # chose (replicated for DP; Megatron ViT sharding when the mesh has a
-        # model axis) so resume keeps the tensor-parallel placement
-        if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
-            from ssl4gie_tpu.parallel.tp import place_tp
-            self.state = place_tp(self.state, self.mesh)
-        else:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+        # chose (replicated for DP; TP/FSDP shardings otherwise)
+        self.state = self.place_fn(self.state)
         meta = restored["meta"]
         self.start_epoch = int(meta["epoch"]) + 1
         self.best_val = float(meta["val_perf"])

@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path-suffix, PartitionSpec) — first match wins; default replicated.
@@ -74,3 +75,45 @@ def place_tp(tree, mesh: Mesh):
     if "model" not in mesh.axis_names:
         raise ValueError("place_tp needs a mesh with a 'model' axis")
     return jax.device_put(tree, tp_sharding_tree(tree, mesh))
+
+
+# Leaves smaller than this stay replicated under FSDP (LayerNorm scales,
+# biases): sharding them saves nothing and adds per-leaf collective overhead.
+FSDP_MIN_ELEMENTS = 4096
+
+
+def hybrid_sharding_tree(tree, mesh: Mesh, tp: bool = False,
+                         fsdp: bool = False):
+    """Sharding pytree composing TP (model axis, TP_RULES by name) with
+    FSDP/ZeRO-style param sharding (data axis, by shape): each leaf's spec
+    starts from its TP rule, then the first still-unsharded dim divisible by
+    the data-axis size is assigned to "data". Optimizer mirrors follow their
+    params (TP by path suffix, FSDP by shape). Compute is unchanged — GSPMD
+    all-gathers params where needed and reduce-scatters their grads, i.e.
+    ZeRO-3 semantics for free."""
+    n_data = mesh.shape["data"]
+
+    def one(path, x):
+        ndim = getattr(x, "ndim", 0)
+        spec = list(tp_spec(_path_str(path))) if tp else []
+        if ndim < len(spec):
+            spec = []
+        spec += [None] * (ndim - len(spec))
+        if fsdp and ndim >= 1 and int(np.prod(x.shape)) >= FSDP_MIN_ELEMENTS:
+            for d in range(ndim):
+                if spec[d] is None and x.shape[d] % n_data == 0:
+                    spec[d] = "data"
+                    break
+        return NamedSharding(mesh, P(*spec))
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def make_place_fn(mesh: Mesh, tp: bool = False, fsdp: bool = False):
+    """The single state-placement policy used at build AND resume time."""
+    if not tp and not fsdp:
+        return lambda tree: jax.device_put(
+            tree, NamedSharding(mesh, P()))
+    def place(tree):
+        return jax.device_put(tree, hybrid_sharding_tree(tree, mesh,
+                                                         tp=tp, fsdp=fsdp))
+    return place

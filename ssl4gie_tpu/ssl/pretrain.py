@@ -29,7 +29,7 @@ from ssl4gie_tpu.core import checkpoint as ckpt_lib
 from ssl4gie_tpu.core.config import PretrainConfig, SSLFramework
 from ssl4gie_tpu.core.logger import (MetricsLogger, Throughput,
                                      peak_memory_mb)
-from ssl4gie_tpu.core.mesh import make_mesh, replicated
+from ssl4gie_tpu.core.mesh import make_mesh
 from ssl4gie_tpu.core.schedule import cosine_momentum
 from ssl4gie_tpu.core.xla_options import jit_kwargs
 from ssl4gie_tpu.data.loader import Loader, Source
@@ -102,11 +102,9 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     else:
         mesh = make_mesh()
 
-    def _place(tree):
-        if tp > 1:
-            from ssl4gie_tpu.parallel.tp import place_tp
-            return place_tp(tree, mesh)
-        return jax.device_put(tree, replicated(mesh))
+    from ssl4gie_tpu.parallel.tp import make_place_fn
+    _place = make_place_fn(mesh, tp=tp > 1,
+                           fsdp=getattr(cfg.runtime, "fsdp", False))
     logger = MetricsLogger(cfg.ckpt_dir, f"pretrain_{cfg.framework.value}_"
                                          f"{cfg.architecture.value}",
                            tb=cfg.runtime.tensorboard)

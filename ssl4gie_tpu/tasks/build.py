@@ -15,7 +15,7 @@ import numpy as np
 from ssl4gie_tpu.core import checkpoint as ckpt_lib
 from ssl4gie_tpu.core.config import Architecture, Task, TrainConfig
 from ssl4gie_tpu.core.logger import MetricsLogger
-from ssl4gie_tpu.core.mesh import make_mesh, replicated
+from ssl4gie_tpu.core.mesh import make_mesh
 from ssl4gie_tpu.core.schedule import ReduceLROnPlateau
 from ssl4gie_tpu.core.train_state import TrainState, make_adamw, make_frozen_tx
 from ssl4gie_tpu.core.trainer import TaskDefinition, Trainer
@@ -130,16 +130,22 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
 def build_trainer(cfg: TrainConfig):
     cfg.validate()
     tp = getattr(cfg.runtime, "tensor_parallel", 1)
+    fsdp = getattr(cfg.runtime, "fsdp", False)
+    if (tp > 1 or fsdp) and cfg.task == Task.DETECTION:
+        # DetectionTrainer places its own state; its windowed Pallas kernel
+        # consumes replicated activations, defeating TP, and FSDP isn't wired.
+        raise ValueError("--tensor-parallel/--fsdp support the ViT dense/"
+                         "pooled tasks (classification/segmentation/depth) "
+                         "and SSL pretraining; use pure data parallelism for "
+                         "detection")
     if tp > 1 and cfg.runtime.mesh_shape is None:
         from ssl4gie_tpu.core.config import Architecture
-        if cfg.task == Task.DETECTION or cfg.architecture == Architecture.RESNET50:
+        if cfg.architecture == Architecture.RESNET50:
             # RN50 has no TP rules (conv/BN params replicated -> the model
-            # axis would silently duplicate compute); detection's windowed
-            # Pallas kernel consumes replicated activations, defeating TP.
-            raise ValueError("--tensor-parallel supports the ViT dense/pooled "
-                             "tasks (classification/segmentation/depth) and "
-                             "SSL pretraining; use pure data parallelism for "
-                             f"{cfg.task.value}/{cfg.architecture.value}")
+            # axis would silently duplicate compute). FSDP is shape-based and
+            # works for RN50.
+            raise ValueError("--tensor-parallel requires a ViT architecture; "
+                             "use --fsdp or pure data parallelism for resnet50")
         import jax as _jax
         n = len(_jax.devices())
         if n % tp != 0:
@@ -206,11 +212,9 @@ def build_trainer(cfg: TrainConfig):
             tx = make_frozen_tx(tx, params, trainable)
 
     state = TrainState.create(model.apply, params, tx, batch_stats)
-    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
-        from ssl4gie_tpu.parallel.tp import place_tp
-        state = place_tp(state, mesh)       # Megatron-style ViT TP (GSPMD)
-    else:
-        state = jax.device_put(state, replicated(mesh))
+    from ssl4gie_tpu.parallel.tp import make_place_fn
+    place_fn = make_place_fn(mesh, tp=tp > 1, fsdp=fsdp)
+    state = place_fn(state)                 # replicated / TP / FSDP / hybrid
 
     bs = cfg.data.batch_size
     train_loader = Loader(train_src, bs, shuffle=True, drop_last=True,
@@ -230,7 +234,8 @@ def build_trainer(cfg: TrainConfig):
                                     patience=cfg.optim.plateau_patience,
                                     min_lr=cfg.optim.min_lr)
 
-    return Trainer(task=td, state=state, mesh=mesh, train_loader=train_loader,
+    return Trainer(task=td, state=state, mesh=mesh, place_fn=place_fn,
+                   train_loader=train_loader,
                    val_loader=val_loader, test_loader=test_loader, logger=logger,
                    ckpt=ckpt, epochs=cfg.epochs, accum_steps=cfg.optim.accum_steps,
                    seed=cfg.runtime.seed, plateau=plateau, eval_finalize=finalize,

@@ -187,3 +187,47 @@ def test_tp_rejects_unsupported_combinations():
             build_trainer(cfg(Task.CLASSIFICATION, Architecture.RESNET50, tmp))
         with pytest.raises(ValueError, match="tensor-parallel"):
             build_trainer(cfg(Task.DETECTION, Architecture.VIT_B, tmp))
+
+
+@pytest.mark.slow
+def test_dp_vs_fsdp_and_hybrid_equivalence():
+    """FSDP (params sharded over 'data') and hybrid FSDP+TP must match plain
+    DP losses/params — placement only, ZeRO semantics come from GSPMD."""
+    from ssl4gie_tpu.parallel.tp import make_place_fn
+
+    n = len(jax.devices())
+    if n < 8:
+        pytest.skip("needs 8 virtual devices")
+    dp_mesh = make_mesh((8,), ("data",))
+    tp_mesh = make_mesh((4, 2), ("data", "model"))
+
+    losses_dp, params_dp = _run(
+        dp_mesh, lambda s: jax.device_put(s, replicated(dp_mesh)))
+    losses_fs, params_fs = _run(dp_mesh, make_place_fn(dp_mesh, fsdp=True))
+    losses_hy, params_hy = _run(tp_mesh,
+                                make_place_fn(tp_mesh, tp=True, fsdp=True))
+
+    for losses, params in ((losses_fs, params_fs), (losses_hy, params_hy)):
+        np.testing.assert_allclose(losses_dp, losses, rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(params_dp),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_fsdp_actually_shards_params():
+    """Big params live in 1/N-size shards; small leaves stay replicated."""
+    from ssl4gie_tpu.parallel.tp import FSDP_MIN_ELEMENTS, hybrid_sharding_tree
+
+    n = len(jax.devices())
+    mesh = make_mesh((n,), ("data",))
+    tree = {"mlp": {"fc1": {"kernel": jnp.zeros((64, 256)),
+                            "bias": jnp.zeros((256,))}},
+            "norm": {"scale": jnp.zeros((64,))}}
+    placed = jax.device_put(tree, hybrid_sharding_tree(tree, mesh, fsdp=True))
+    k = placed["mlp"]["fc1"]["kernel"]
+    assert 64 * 256 >= FSDP_MIN_ELEMENTS
+    shard_shape = k.addressable_shards[0].data.shape
+    assert shard_shape == (64 // n, 256), shard_shape
+    # tiny leaves replicated
+    s = placed["norm"]["scale"]
+    assert s.addressable_shards[0].data.shape == (64,)
