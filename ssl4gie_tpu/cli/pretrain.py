@@ -45,6 +45,9 @@ def main():
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO/FSDP-style param+optimizer sharding over the "
                         "data axis (beyond-reference; composes with --tp)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize MAE block activations in the backward "
+                        "(jax.checkpoint; memory lever for vit_l/vit_h)")
     args = p.parse_args()
 
     fw = SSLFramework(args.framework)
@@ -79,6 +82,8 @@ def main():
         batch_size=args.batch_size, mask_ratio=args.mask_ratio,
         norm_pix_loss=not args.no_norm_pix, moco_momentum=args.moco_m,
         moco_temperature=args.moco_t, optimizer=opt,
+        model_kwargs={"remat": True} if (args.remat and fw == SSLFramework.MAE)
+        else {},
         data=DataConfig(data_root=args.data_root, synthetic=args.synthetic),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
                               tensor_parallel=args.tensor_parallel,

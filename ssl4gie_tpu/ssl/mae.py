@@ -93,6 +93,12 @@ class MAE(nn.Module):
     norm_pix_loss: bool = True
     mask_ratio: float = 0.75
     dtype: jnp.dtype = jnp.float32
+    # activation rematerialization per block (jax.checkpoint): trades ~30%
+    # recompute for O(depth) -> O(1) residual memory — the lever that fits
+    # vit_l/vit_h pretraining batches in HBM. Param tree is unchanged, so
+    # checkpoints transfer 1:1. Default off: on ViT-B the remat boundary was
+    # measured slower (breaks XLA's fc1+gelu fusion, see models/layers.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, imgs, train: bool = True, rng: Optional[jax.Array] = None):
@@ -118,9 +124,10 @@ class MAE(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, self.embed_dim)),
                              x], axis=1)
         xavier = nn.initializers.xavier_uniform()   # MAE inits all Linears xavier
+        Blk = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
-            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                      dtype=self.dtype, kernel_init=xavier, name=f"blocks_{i}")(x)
+            x = Blk(self.embed_dim, self.num_heads, self.mlp_ratio,
+                    dtype=self.dtype, kernel_init=xavier, name=f"blocks_{i}")(x)
         latent = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
         # ---- decoder (`forward_decoder`, models_mae.py:172-196)
@@ -137,9 +144,9 @@ class MAE(nn.Module):
         y = jnp.concatenate([y[:, :1], y_], axis=1)
         y = y + dec_pos_embed.astype(self.dtype)
         for i in range(self.decoder_depth):
-            y = Block(self.decoder_embed_dim, self.decoder_num_heads, self.mlp_ratio,
-                      dtype=self.dtype, kernel_init=xavier,
-                      name=f"decoder_blocks_{i}")(y)
+            y = Blk(self.decoder_embed_dim, self.decoder_num_heads, self.mlp_ratio,
+                    dtype=self.dtype, kernel_init=xavier,
+                    name=f"decoder_blocks_{i}")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")(y)
         pred = nn.Dense(self.patch_size ** 2 * 3, dtype=jnp.float32,
                         name="decoder_pred")(y.astype(jnp.float32))

@@ -365,3 +365,32 @@ def test_mae_architecture_preset_dispatch():
     size = dict(MAE_SIZES["vit_l"])
     size.update({"depth": 2})
     assert size["depth"] == 2 and size["embed_dim"] == 1024
+
+
+def test_mae_remat_is_numerically_identical():
+    """remat=True recomputes block activations in the backward — same math,
+    same param tree (checkpoints transfer 1:1), identical loss and grads."""
+    kw = dict(img_size=32, embed_dim=64, depth=2, num_heads=2,
+              decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    init_rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+
+    def loss_and_grads(remat):
+        m = MAE(**kw, remat=remat)
+        params = m.init(init_rngs, imgs, train=True)["params"]
+
+        def loss_fn(p):
+            loss, _, _ = m.apply({"params": p}, imgs, train=True,
+                                 rngs={"mask": jax.random.PRNGKey(2)})
+            return loss
+        return params, jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    p0, (l0, g0) = loss_and_grads(False)
+    p1, (l1, g1) = loss_and_grads(True)
+    # identical param tree structure AND values (same init names/order)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
