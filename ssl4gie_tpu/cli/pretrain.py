@@ -52,6 +52,8 @@ def main():
 
     fw = SSLFramework(args.framework)
     arch = Architecture(args.architecture)
+    if args.remat and fw != SSLFramework.MAE:
+        p.error("--remat applies to MAE pretraining only")
     mae_archs = (Architecture.VIT_B, Architecture.VIT_L, Architecture.VIT_H)
     if fw == SSLFramework.MAE and arch not in mae_archs:
         p.error("MAE pretraining takes vit_b/vit_l/vit_h "

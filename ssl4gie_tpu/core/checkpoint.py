@@ -55,8 +55,18 @@ class CheckpointManager:
 
 
 def host_tree(tree):
-    """Pull a sharded pytree fully to host numpy (for saving from process 0)."""
-    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+    """Pull a sharded pytree fully to host numpy (for saving from process 0).
+
+    Under --fsdp/--tensor-parallel on a multi-host mesh a leaf's shards can
+    live on non-addressable devices, where device_get raises; those leaves are
+    first all-gathered across processes (replicated state never hits this —
+    every host holds full copies)."""
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(jax.device_get(x))
+    return jax.tree_util.tree_map(pull, tree)
 
 
 def is_primary() -> bool:

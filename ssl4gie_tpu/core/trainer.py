@@ -373,14 +373,16 @@ class Trainer:
         checkpoint (`submitit_pretrain.py:60-70`)."""
         if self._guard is None or not self._guard.should_stop:
             return
+        # host_tree is a collective under sharded state (multi-host
+        # allgather) — every process builds the tree; only primary writes
+        tree = self._boundary_snapshot
+        if tree is None:
+            tree = self._ckpt_tree(
+                epoch, self.best_val if self.best_val is not None else 0.0,
+                0.0)
         if ckpt_lib.is_primary():
-            tree = self._boundary_snapshot
-            if tree is None:
-                tree = self._ckpt_tree(
-                    epoch, self.best_val if self.best_val is not None else 0.0,
-                    0.0)
             self.preempt_ckpt.save(tree)
-            self._preempt_slot_epoch = int(tree["meta"]["epoch"])
+        self._preempt_slot_epoch = int(tree["meta"]["epoch"])
         self.logger.log({"preempted_after_epoch": epoch},
                         echo=f"preemption signal — state saved after epoch "
                              f"{epoch}, exiting for requeue")
@@ -410,8 +412,9 @@ class Trainer:
                        else val_perf < self.best_val))
             if better:
                 self.best_val = val_perf
+                tree = self._ckpt_tree(epoch, val_perf, test_perf)  # collective
                 if ckpt_lib.is_primary():
-                    self.ckpt.save(self._ckpt_tree(epoch, val_perf, test_perf))
+                    self.ckpt.save(tree)
                 self.logger.log({"epoch": epoch, "new_best_val": val_perf,
                                  "test_at_best": test_perf})
             # drop a stale .preempt slot once this run has trained past it, so

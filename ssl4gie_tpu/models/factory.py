@@ -9,7 +9,7 @@ torchvision/timm supervised) live.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -30,12 +30,13 @@ class ViTDenseModel(nn.Module):
     pos_embed_type: str = "learned"
     img_size: int = 224
     dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         taps = ViTBackbone(img_size=self.img_size, mode="dense",
                            pos_embed_type=self.pos_embed_type, dtype=self.dtype,
-                           name="backbone")(x, train)
+                           attn_fn=self.attn_fn, name="backbone")(x, train)
         return DPTDecoder(num_classes=self.num_classes, dense=self.dense,
                           dtype=self.dtype, name="decoder")(taps, train)
 
@@ -55,7 +56,8 @@ def build_model(task: Task, architecture: Architecture, *, num_classes: int = 1,
                 framework: Optional[SSLFramework] = None,
                 out_token: str = "cls", img_size: int = 224,
                 dtype: jnp.dtype = jnp.float32,
-                probe_bn: bool = False) -> nn.Module:
+                probe_bn: bool = False,
+                attn_fn: Optional[Callable] = None) -> nn.Module:
     pet = pos_embed_type_for(pretraining, framework)
     vit = architecture == Architecture.VIT_B
 
@@ -63,13 +65,14 @@ def build_model(task: Task, architecture: Architecture, *, num_classes: int = 1,
         if vit:
             return ViTClassifier(num_classes=num_classes, out_token=out_token,
                                  pos_embed_type=pet, img_size=img_size,
-                                 dtype=dtype, probe_bn=probe_bn)
+                                 dtype=dtype, probe_bn=probe_bn,
+                                 attn_fn=attn_fn)
         return ResNetClassifier(num_classes=num_classes, dtype=dtype)
 
     if task == Task.SEGMENTATION:
         if vit:
             return ViTDenseModel(num_classes=1, dense="seg", pos_embed_type=pet,
-                                 img_size=img_size, dtype=dtype)
+                                 img_size=img_size, dtype=dtype, attn_fn=attn_fn)
         # RN50 segmentation goes through DeepLabV3+ like the reference
         # (`train_segmentation.py:153`), not the custom decoder.
         return DeepLabV3Plus(num_classes=1, dtype=dtype)
@@ -77,7 +80,7 @@ def build_model(task: Task, architecture: Architecture, *, num_classes: int = 1,
     if task == Task.DEPTH:
         if vit:
             return ViTDenseModel(num_classes=1, dense="depth", pos_embed_type=pet,
-                                 img_size=img_size, dtype=dtype)
+                                 img_size=img_size, dtype=dtype, attn_fn=attn_fn)
         return ResNetDepthModel(dtype=dtype)
 
     if task == Task.DETECTION:

@@ -59,12 +59,7 @@ def tp_sharding_tree(tree, mesh: Mesh):
     """A pytree of NamedShardings mirroring `tree` (params OR a whole
     TrainState — optimizer-state mirrors share the param path suffixes, so the
     same rules place mu/nu consistently with their parameters)."""
-    def one(path, x):
-        spec = tp_spec(_path_str(path))
-        if getattr(x, "ndim", 0) < len(spec):   # scalar/step counters etc.
-            spec = P()
-        return NamedSharding(mesh, spec)
-    return jax.tree_util.tree_map_with_path(one, tree)
+    return hybrid_sharding_tree(tree, mesh, tp=True, fsdp=False)
 
 
 def place_tp(tree, mesh: Mesh):
@@ -106,6 +101,23 @@ def hybrid_sharding_tree(tree, mesh: Mesh, tp: bool = False,
                     break
         return NamedSharding(mesh, P(*spec))
     return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def make_tp_mesh(tp: int, *head_counts: int, devices=None) -> Mesh:
+    """(n/tp, tp) (data, model) mesh with the divisibility checks: tp must
+    divide the device count and every attention head count it will shard
+    (otherwise head boundaries straddle shards and GSPMD falls back to
+    resharding collectives around every attention)."""
+    from ssl4gie_tpu.core.mesh import make_mesh
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % tp != 0:
+        raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
+    for h in head_counts:
+        if h % tp != 0:
+            raise ValueError(f"tensor_parallel={tp} must divide the attention "
+                             f"head count {h}")
+    return make_mesh((n // tp, tp), ("data", "model"), devices=devices)
 
 
 def make_place_fn(mesh: Mesh, tp: bool = False, fsdp: bool = False):

@@ -15,7 +15,7 @@ finetuning ViTBackbone (same module names).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -93,6 +93,9 @@ class MAE(nn.Module):
     norm_pix_loss: bool = True
     mask_ratio: float = 0.75
     dtype: jnp.dtype = jnp.float32
+    # pluggable attention (e.g. plain_attention under tensor parallelism,
+    # where the Pallas kernels' custom calls have no SPMD partitioning rule)
+    attn_fn: Optional[Callable] = None
     # activation rematerialization per block (jax.checkpoint): trades ~30%
     # recompute for O(depth) -> O(1) residual memory — the lever that fits
     # vit_l/vit_h pretraining batches in HBM. Param tree is unchanged, so
@@ -127,7 +130,8 @@ class MAE(nn.Module):
         Blk = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
             x = Blk(self.embed_dim, self.num_heads, self.mlp_ratio,
-                    dtype=self.dtype, kernel_init=xavier, name=f"blocks_{i}")(x)
+                    dtype=self.dtype, kernel_init=xavier, attn_fn=self.attn_fn,
+                    name=f"blocks_{i}")(x)
         latent = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
         # ---- decoder (`forward_decoder`, models_mae.py:172-196)
@@ -145,7 +149,7 @@ class MAE(nn.Module):
         y = y + dec_pos_embed.astype(self.dtype)
         for i in range(self.decoder_depth):
             y = Blk(self.decoder_embed_dim, self.decoder_num_heads, self.mlp_ratio,
-                    dtype=self.dtype, kernel_init=xavier,
+                    dtype=self.dtype, kernel_init=xavier, attn_fn=self.attn_fn,
                     name=f"decoder_blocks_{i}")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="decoder_norm")(y)
         pred = nn.Dense(self.patch_size ** 2 * 3, dtype=jnp.float32,

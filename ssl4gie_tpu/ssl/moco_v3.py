@@ -79,12 +79,14 @@ class MoCoEncoder(nn.Module):
     dim: int = 256
     mlp_dim: int = 4096
     dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[Callable] = None   # plain_attention under TP
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.arch in VIT_PRESETS:
             feat = ViTBackbone(mode="pooled", out_token="cls",
                                pos_embed_type="sincos", dtype=self.dtype,
+                               attn_fn=self.attn_fn,
                                **VIT_PRESETS[self.arch],
                                name="backbone")(x, train)
             proj = MLPHead(3, self.mlp_dim, self.dim, last_bn=True,

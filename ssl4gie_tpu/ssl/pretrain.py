@@ -90,15 +90,34 @@ def discover_unlabeled(root: str):
 
 def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int] = None):
     tp = getattr(cfg.runtime, "tensor_parallel", 1)
+    # Resolve the MAE size preset early: TP needs the head counts for its
+    # divisibility checks (architecture -> models_mae.py:223-250 preset;
+    # cfg.model_kwargs overrides win — tiny test models).
+    mae_size = dict(MAE_SIZES.get(cfg.architecture.value, {}))
+    mae_size.update(cfg.model_kwargs)
+    attn_fn = None
     if tp > 1:
         # beyond-reference: Megatron-style ViT sharding for the big MAE
         # presets (vit_l/vit_h); the TP_RULES suffixes match the MAE decoder
-        # blocks too (decoder_blocks_i/attn|mlp/...). tp must divide both
-        # encoder and decoder head counts (2 or 4 for the stock presets).
-        n = len(jax.devices())
-        if n % tp != 0:
-            raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
-        mesh = make_mesh((n // tp, tp), ("data", "model"))
+        # blocks too (decoder_blocks_i/attn|mlp/...).
+        from ssl4gie_tpu.parallel.tp import make_tp_mesh
+        if cfg.framework == SSLFramework.MAE:
+            heads = (mae_size.get("num_heads", 12),
+                     mae_size.get("decoder_num_heads", 16))
+        else:
+            from ssl4gie_tpu.ssl.moco_v3 import VIT_PRESETS
+            if cfg.architecture.value not in VIT_PRESETS:
+                # RN50 conv/BN params match no TP rule: the model axis would
+                # silently duplicate all compute (same guard as build_trainer)
+                raise ValueError("--tensor-parallel requires a ViT "
+                                 "architecture; use --fsdp or pure data "
+                                 "parallelism for resnet50")
+            heads = (VIT_PRESETS[cfg.architecture.value]["num_heads"],)
+        mesh = make_tp_mesh(tp, *heads)
+        # Pallas attention kernels have no SPMD partitioning rule over the
+        # model axis; plain XLA attention partitions head-wise for free.
+        from ssl4gie_tpu.models.layers import plain_attention
+        attn_fn = plain_attention
     else:
         mesh = make_mesh()
 
@@ -134,12 +153,9 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
         cfg.ckpt_dir, f"{cfg.framework.value}_{cfg.architecture.value}.resume")
 
     if cfg.framework == SSLFramework.MAE:
-        # architecture -> reference size preset (models_mae.py:223-250);
-        # cfg.model_kwargs overrides win (tiny test models)
-        size = dict(MAE_SIZES.get(cfg.architecture.value, {}))
-        size.update(cfg.model_kwargs)
         model = MAE(img_size=cfg.img_size, norm_pix_loss=cfg.norm_pix_loss,
-                    mask_ratio=cfg.mask_ratio, dtype=dtype, **size)
+                    mask_ratio=cfg.mask_ratio, dtype=dtype, attn_fn=attn_fn,
+                    **mae_size)
         sample = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
         variables = jax.jit(functools.partial(model.init, train=True))(
             {"params": root_key, "mask": root_key}, sample)
@@ -171,13 +187,13 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
                     {"loss": loss, "grad_norm": optax.global_norm(grads)})
 
         def save(state, epoch):
+            # host_tree first on EVERY process (collective under sharded
+            # state), write on primary only
+            full = ckpt_lib.host_tree(state)
             if not ckpt_lib.is_primary():
                 return
-            tree = {"params": ckpt_lib.host_tree(state["params"]),
-                    "meta": {"epoch": epoch}}
-            ckpt.save(tree)
-            resume_ckpt.save({"state": ckpt_lib.host_tree(state),
-                              "meta": {"epoch": epoch}})
+            ckpt.save({"params": full["params"], "meta": {"epoch": epoch}})
+            resume_ckpt.save({"state": full, "meta": {"epoch": epoch}})
 
         start_epoch = 1
         if resume_ckpt.exists():
@@ -195,7 +211,8 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
 
     # ---- MoCo v3
     encoder = MoCoEncoder(arch=cfg.architecture.value, dim=cfg.moco_dim,
-                          mlp_dim=cfg.moco_mlp_dim, dtype=dtype)
+                          mlp_dim=cfg.moco_mlp_dim, dtype=dtype,
+                          attn_fn=attn_fn)
     # backbone sizes come from VIT_PRESETS (vit_b/s/conv_s/conv_b) or RN50 like
     # the reference `-a` choices; cfg.model_kwargs applies to MAE only
     predictor = MoCoPredictor(dim=cfg.moco_dim, mlp_dim=cfg.moco_mlp_dim,
@@ -251,13 +268,14 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
                 "opt_state": st.opt_state, "step": st.step}
 
     def save(state, epoch):
+        # host_tree first on EVERY process (collective under sharded state),
+        # write on primary only
+        full = ckpt_lib.host_tree(moco_tree(state))
         if not ckpt_lib.is_primary():
             return
-        tree = {"params": ckpt_lib.host_tree(state.params["encoder"]),
-                "meta": {"epoch": epoch}}
-        ckpt.save(tree)
-        resume_ckpt.save({"state": ckpt_lib.host_tree(moco_tree(state)),
-                          "meta": {"epoch": epoch}})
+        ckpt.save({"params": full["params"]["encoder"],
+                   "meta": {"epoch": epoch}})
+        resume_ckpt.save({"state": full, "meta": {"epoch": epoch}})
 
     start_epoch = 1
     if resume_ckpt.exists():

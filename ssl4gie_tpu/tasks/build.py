@@ -138,21 +138,21 @@ def build_trainer(cfg: TrainConfig):
                          "pooled tasks (classification/segmentation/depth) "
                          "and SSL pretraining; use pure data parallelism for "
                          "detection")
-    if tp > 1 and cfg.runtime.mesh_shape is None:
-        from ssl4gie_tpu.core.config import Architecture
+    if tp > 1:
+        if cfg.runtime.mesh_shape is not None:
+            raise ValueError("give either tensor_parallel or an explicit "
+                             "mesh_shape/mesh_axes, not both")
         if cfg.architecture == Architecture.RESNET50:
             # RN50 has no TP rules (conv/BN params replicated -> the model
             # axis would silently duplicate compute). FSDP is shape-based and
             # works for RN50.
             raise ValueError("--tensor-parallel requires a ViT architecture; "
                              "use --fsdp or pure data parallelism for resnet50")
-        import jax as _jax
-        n = len(_jax.devices())
-        if n % tp != 0:
-            raise ValueError(f"tensor_parallel={tp} does not divide {n} devices")
-        mesh = make_mesh((n // tp, tp), ("data", "model"))
+        from ssl4gie_tpu.parallel.tp import make_tp_mesh
+        mesh = make_tp_mesh(tp, 12)            # ViT-B: 12 heads
     else:
         mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
+    tp_active = "model" in mesh.axis_names and mesh.shape["model"] > 1
     from ssl4gie_tpu.core.mesh import local_batch_size
     local_batch_size(cfg.data.batch_size, mesh)   # divisibility check (clear error)
     if cfg.task == Task.DETECTION:
@@ -162,11 +162,18 @@ def build_trainer(cfg: TrainConfig):
 
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
     from ssl4gie_tpu.core.config import SSLFramework
+    # Under TP, route attention through plain XLA einsums: the Pallas kernels
+    # lower to Mosaic custom calls with no SPMD partitioning rule over the
+    # model axis, while the einsum formulation partitions head-wise for free.
+    attn_fn = None
+    if tp_active:
+        from ssl4gie_tpu.models.layers import plain_attention
+        attn_fn = plain_attention
     model = build_model(cfg.task, cfg.architecture,
                         num_classes=extras.get("n_class", 1),
                         pretraining=cfg.pretraining, framework=cfg.ss_framework,
                         out_token=cfg.out_token, img_size=cfg.data.img_size,
-                        dtype=dtype,
+                        dtype=dtype, attn_fn=attn_fn,
                         probe_bn=cfg.probe and cfg.ss_framework == SSLFramework.MAE)
 
     rng = jax.random.PRNGKey(cfg.runtime.seed)
@@ -213,7 +220,7 @@ def build_trainer(cfg: TrainConfig):
 
     state = TrainState.create(model.apply, params, tx, batch_stats)
     from ssl4gie_tpu.parallel.tp import make_place_fn
-    place_fn = make_place_fn(mesh, tp=tp > 1, fsdp=fsdp)
+    place_fn = make_place_fn(mesh, tp=tp_active, fsdp=fsdp)
     state = place_fn(state)                 # replicated / TP / FSDP / hybrid
 
     bs = cfg.data.batch_size

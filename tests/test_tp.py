@@ -231,3 +231,12 @@ def test_fsdp_actually_shards_params():
     # tiny leaves replicated
     s = placed["norm"]["scale"]
     assert s.addressable_shards[0].data.shape == (64,)
+
+
+def test_tp_head_divisibility_validated():
+    from ssl4gie_tpu.parallel.tp import make_tp_mesh
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="head count"):
+        make_tp_mesh(n, 12)   # 12 heads not divisible by 8
+    m = make_tp_mesh(2, 12, 16)
+    assert dict(m.shape) == {"data": n // 2, "model": 2}
