@@ -288,10 +288,18 @@ def rotate_nearest_shear(img, angle_deg, fill: float = 0.0):
     beta = -jnp.sin(r)                            # |beta|  <= sin(45)
     P = int(np.ceil(np.tan(np.pi / 8) * c)) + 1   # shear-x shift bound + 1
 
-    if jax.default_backend() == "tpu":
-        # VMEM-resident shears: same math, ~7x less HBM traffic
+    from ssl4gie_tpu.models.layers import pallas_backend
+    if pallas_backend() == "tpu":
+        # VMEM-resident shears: same math, ~7x less HBM traffic. Multi-device:
+        # Mosaic custom calls cannot be auto-partitioned, so wrap the call in
+        # a shard_map over the batch (models/layers.shard_pallas_over_batch)
         from ssl4gie_tpu.kernels.rotate import shear_rotate_pallas
-        return shear_rotate_pallas(g, alpha, beta, P, fill)
+        from ssl4gie_tpu.models.layers import shard_pallas_over_batch
+        call = shard_pallas_over_batch(
+            lambda gg, a, b: shear_rotate_pallas(gg, a, b, P, fill),
+            B, (4, 1, 1), 4)
+        if call is not None:
+            return call(g, alpha, beta)
 
     Wp = W + 2 * P
     ys = jnp.arange(H, dtype=jnp.float32) - c

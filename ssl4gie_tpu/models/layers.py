@@ -187,6 +187,40 @@ FLASH_MIN_SEQ = 1024   # blockwise kernel for long sequences (detection)
 FUSED_MIN_SEQ = 160    # packed-QKV single-block kernel for dense tasks (197)
 
 
+def pallas_backend() -> str:
+    """Indirection over jax.default_backend() for Pallas dispatch sites —
+    tests monkeypatch THIS (patching jax.default_backend itself leaks into
+    JAX internals and can trigger a real TPU-backend lookup)."""
+    return jax.default_backend()
+
+
+def shard_pallas_over_batch(fn, batch_size: int, in_ndims, out_ndim: int):
+    """Make a Pallas kernel call legal under a multi-device data mesh.
+
+    Mosaic custom calls cannot be auto-partitioned by GSPMD — XLA raises
+    "Mosaic kernels cannot be automatically partitioned. Please wrap the call
+    in a shard_map" whenever num_devices > 1 (jax tpu_custom_call.py). On one
+    device (the bench/profiling configuration) `fn` is returned unchanged; on
+    a multi-device data mesh the call is wrapped in shard_map over dim 0 of
+    every operand (in_ndims: rank per positional operand), so each device runs
+    the kernel on its local batch shard — exactly the manual form of the
+    batch-parallel grid. Returns None if the batch does not divide the device
+    count (caller falls back to the plain XLA formulation)."""
+    devs = jax.devices()
+    if len(devs) == 1:
+        return fn
+    if batch_size % len(devs) != 0:
+        return None
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.array(devs), ("data",))
+    batch0 = lambda nd: P("data", *([None] * (nd - 1)))
+    in_specs = tuple(batch0(nd) for nd in in_ndims)
+    # check_vma=False: pallas out_shape ShapeDtypeStructs carry no varying-
+    # mesh-axes annotation, which the default vma check rejects
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=batch0(out_ndim), check_vma=False)
+
+
 def default_attention(q, k, v, scale: float):
     """Dispatch: Pallas flash kernel for long sequences on TPU (detection's 4,096
     global-attention tokens), plain fused XLA otherwise. Short dense sequences
@@ -194,9 +228,13 @@ def default_attention(q, k, v, scale: float):
     through kernels.dense_attention without splitting heads."""
     n = q.shape[-2]
     if (n >= FLASH_MIN_SEQ and n % 256 == 0 and q.ndim == 4
-            and jax.default_backend() == "tpu"):
+            and pallas_backend() == "tpu"):
         from ssl4gie_tpu.kernels.flash_attention import flash_attention_heads
-        return flash_attention_heads(q, k, v, scale)
+        call = shard_pallas_over_batch(
+            functools.partial(flash_attention_heads, scale=scale),
+            q.shape[0], (4, 4, 4), 4)
+        if call is not None:
+            return call(q, k, v)
     return plain_attention(q, k, v, scale)
 
 
@@ -226,27 +264,32 @@ class Attention(nn.Module):
                        name="qkv")(x)
 
         if (self.window_size is not None and self.attn_fn is None
-                and jax.default_backend() == "tpu"):
+                and pallas_backend() == "tpu"):
             # fused Pallas path: windows are carved by BlockSpec from the natural
             # grid layout — no transpose copies through HBM
             from ssl4gie_tpu.kernels.window_attention import \
                 windowed_flash_attention
             gh, gw = grid_hw
-            out = windowed_flash_attention(
-                qkv.reshape(B, gh, gw, 3 * C), H, self.window_size, scale)
-            out = out.reshape(B, N, C)
-            return nn.Dense(C, dtype=self.dtype, kernel_init=self.kernel_init,
-                            name="proj")(out)
+            call = shard_pallas_over_batch(
+                lambda g: windowed_flash_attention(g, H, self.window_size,
+                                                   scale), B, (4,), 4)
+            if call is not None:
+                out = call(qkv.reshape(B, gh, gw, 3 * C)).reshape(B, N, C)
+                return nn.Dense(C, dtype=self.dtype,
+                                kernel_init=self.kernel_init, name="proj")(out)
 
         if (self.window_size is None and self.attn_fn is None
                 and FUSED_MIN_SEQ <= N <= 512
-                and jax.default_backend() == "tpu"):
+                and pallas_backend() == "tpu"):
             # dense tasks (N=197): one Pallas program per image consumes the
             # packed (B, N, 3C) qkv — no head-split transposes, no pad/slice
             from ssl4gie_tpu.kernels.dense_attention import fused_qkv_attention
-            out = fused_qkv_attention(qkv, H, scale)
-            return nn.Dense(C, dtype=self.dtype, kernel_init=self.kernel_init,
-                            name="proj")(out)
+            call = shard_pallas_over_batch(
+                lambda g: fused_qkv_attention(g, H, scale), B, (3,), 3)
+            if call is not None:
+                out = call(qkv)
+                return nn.Dense(C, dtype=self.dtype,
+                                kernel_init=self.kernel_init, name="proj")(out)
 
         if self.window_size is not None:
             gh, gw = grid_hw
