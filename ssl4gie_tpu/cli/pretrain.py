@@ -84,8 +84,7 @@ def main():
         batch_size=args.batch_size, mask_ratio=args.mask_ratio,
         norm_pix_loss=not args.no_norm_pix, moco_momentum=args.moco_m,
         moco_temperature=args.moco_t, optimizer=opt,
-        model_kwargs={"remat": True} if (args.remat and fw == SSLFramework.MAE)
-        else {},
+        model_kwargs={"remat": True} if args.remat else {},
         data=DataConfig(data_root=args.data_root, synthetic=args.synthetic),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
                               tensor_parallel=args.tensor_parallel,

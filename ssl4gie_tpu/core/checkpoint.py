@@ -62,7 +62,10 @@ def host_tree(tree):
     first all-gathered across processes (replicated state never hits this —
     every host holds full copies)."""
     def pull(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            # genuinely sharded across hosts (FSDP/TP): gather. Fully-
+            # replicated multi-host arrays read their local copy directly.
             from jax.experimental import multihost_utils
             x = multihost_utils.process_allgather(x, tiled=True)
         return np.asarray(jax.device_get(x))

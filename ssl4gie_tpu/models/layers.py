@@ -194,6 +194,19 @@ def pallas_backend() -> str:
     return jax.default_backend()
 
 
+# The ambient training mesh, registered by the builders (tasks/build.py,
+# ssl/pretrain.py). When set, Pallas calls shard over ITS "data" axis —
+# matching the batch's actual layout — instead of an ad-hoc 1-D mesh over all
+# devices (which would force reshards under a 2-D (data, model) mesh).
+_PALLAS_MESH = None
+
+
+def set_pallas_mesh(mesh) -> None:
+    global _PALLAS_MESH
+    _PALLAS_MESH = mesh if mesh is not None and "data" in mesh.axis_names \
+        else None
+
+
 def shard_pallas_over_batch(fn, batch_size: int, in_ndims, out_ndim: int):
     """Make a Pallas kernel call legal under a multi-device data mesh.
 
@@ -201,18 +214,23 @@ def shard_pallas_over_batch(fn, batch_size: int, in_ndims, out_ndim: int):
     "Mosaic kernels cannot be automatically partitioned. Please wrap the call
     in a shard_map" whenever num_devices > 1 (jax tpu_custom_call.py). On one
     device (the bench/profiling configuration) `fn` is returned unchanged; on
-    a multi-device data mesh the call is wrapped in shard_map over dim 0 of
-    every operand (in_ndims: rank per positional operand), so each device runs
-    the kernel on its local batch shard — exactly the manual form of the
-    batch-parallel grid. Returns None if the batch does not divide the device
-    count (caller falls back to the plain XLA formulation)."""
-    devs = jax.devices()
-    if len(devs) == 1:
-        return fn
-    if batch_size % len(devs) != 0:
-        return None
+    a multi-device mesh the call is wrapped in shard_map over dim 0 of every
+    operand (in_ndims: rank per positional operand) along the ambient mesh's
+    "data" axis (replicated over any other axes), so each device runs the
+    kernel on its local batch shard — exactly the manual form of the
+    batch-parallel grid. Returns None if the batch does not divide the
+    data-axis size (caller falls back to the plain XLA formulation)."""
     from jax.sharding import Mesh, PartitionSpec as P
-    mesh = Mesh(np.array(devs), ("data",))
+    mesh = _PALLAS_MESH
+    if mesh is None:
+        devs = jax.devices()
+        if len(devs) == 1:
+            return fn
+        mesh = Mesh(np.array(devs), ("data",))
+    elif mesh.size == 1:
+        return fn
+    if batch_size % mesh.shape["data"] != 0:
+        return None
     batch0 = lambda nd: P("data", *([None] * (nd - 1)))
     in_specs = tuple(batch0(nd) for nd in in_ndims)
     # check_vma=False: pallas out_shape ShapeDtypeStructs carry no varying-

@@ -121,6 +121,8 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
     else:
         mesh = make_mesh()
 
+    from ssl4gie_tpu.models.layers import set_pallas_mesh
+    set_pallas_mesh(mesh)   # Pallas kernels shard over THIS mesh's data axis
     from ssl4gie_tpu.parallel.tp import make_place_fn
     _place = make_place_fn(mesh, tp=tp > 1,
                            fsdp=getattr(cfg.runtime, "fsdp", False))

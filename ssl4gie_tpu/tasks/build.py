@@ -148,11 +148,16 @@ def build_trainer(cfg: TrainConfig):
             # works for RN50.
             raise ValueError("--tensor-parallel requires a ViT architecture; "
                              "use --fsdp or pure data parallelism for resnet50")
+        from ssl4gie_tpu.models.vit import ViTBackbone
         from ssl4gie_tpu.parallel.tp import make_tp_mesh
-        mesh = make_tp_mesh(tp, 12)            # ViT-B: 12 heads
+        # the finetune ViT is always the backbone default (ViT-B); derive the
+        # head count from the module instead of hardcoding it here
+        mesh = make_tp_mesh(tp, ViTBackbone.num_heads)
     else:
         mesh = make_mesh(cfg.runtime.mesh_shape, cfg.runtime.mesh_axes)
     tp_active = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    from ssl4gie_tpu.models.layers import set_pallas_mesh
+    set_pallas_mesh(mesh)   # Pallas kernels shard over THIS mesh's data axis
     from ssl4gie_tpu.core.mesh import local_batch_size
     local_batch_size(cfg.data.batch_size, mesh)   # divisibility check (clear error)
     if cfg.task == Task.DETECTION:

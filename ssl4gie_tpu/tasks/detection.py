@@ -423,14 +423,16 @@ class DetectionTrainer:
         from ssl4gie_tpu.core.preempt import Preempted
         if self._guard is None or not self._guard.should_stop:
             return
+        # host_tree is a collective under sharded state — build the tree on
+        # every (signal-received) process, write on primary only
+        tree = self._boundary_snapshot
+        if tree is None:
+            tree = self._ckpt_tree(
+                epoch, self.best_val if self.best_val is not None else 0.0,
+                0.0)
         if ckpt_lib.is_primary():
-            tree = self._boundary_snapshot
-            if tree is None:
-                tree = self._ckpt_tree(
-                    epoch, self.best_val if self.best_val is not None else 0.0,
-                    0.0)
             self.preempt_ckpt.save(tree)
-            self._preempt_slot_epoch = int(tree["meta"]["epoch"])
+        self._preempt_slot_epoch = int(tree["meta"]["epoch"])
         self.logger.log({"preempted_after_epoch": epoch},
                         echo=f"preemption signal — state saved after epoch "
                              f"{epoch}, exiting for requeue")

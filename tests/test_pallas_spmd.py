@@ -178,3 +178,26 @@ def test_rotation_dispatch_shard_map_multi_device(monkeypatch):
     out = jax.jit(augment.rotate_nearest_shear)(img_s, ang_s)
     assert calls and calls[0][0][0] == 8 // n and calls[0][1][0] == 8 // n
     assert out.shape == img.shape
+
+
+def test_ambient_mesh_preferred(monkeypatch):
+    """With a registered 2-D (data, model) training mesh, the wrapper shards
+    over ITS data axis (size 4) — not an ad-hoc all-devices mesh — so a batch
+    divisible by the data axis but not by the device count keeps the kernel."""
+    n = len(jax.devices())
+    if n < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ssl4gie_tpu.models.layers import (set_pallas_mesh,
+                                           shard_pallas_over_batch)
+    tp_mesh = make_mesh((n // 2, 2), ("data", "model"))
+    set_pallas_mesh(tp_mesh)
+    try:
+        fn = lambda x: x
+        # B=4 divides the 4-way data axis but not the 8 devices
+        wrapped = shard_pallas_over_batch(fn, n // 2, (2,), 2)
+        assert callable(wrapped) and wrapped is not fn
+        x = jnp.arange((n // 2) * 3, dtype=jnp.float32).reshape(n // 2, 3)
+        np.testing.assert_array_equal(np.asarray(wrapped(x)), np.asarray(x))
+        assert shard_pallas_over_batch(fn, 3, (2,), 2) is None
+    finally:
+        set_pallas_mesh(None)

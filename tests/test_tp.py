@@ -236,6 +236,8 @@ def test_fsdp_actually_shards_params():
 def test_tp_head_divisibility_validated():
     from ssl4gie_tpu.parallel.tp import make_tp_mesh
     n = len(jax.devices())
+    if n != 8:
+        pytest.skip("assumes the conftest's 8 virtual devices")
     with pytest.raises(ValueError, match="head count"):
         make_tp_mesh(n, 12)   # 12 heads not divisible by 8
     m = make_tp_mesh(2, 12, 16)
