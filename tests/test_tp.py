@@ -242,3 +242,47 @@ def test_tp_head_divisibility_validated():
         make_tp_mesh(n, 12)   # 12 heads not divisible by 8
     m = make_tp_mesh(2, 12, 16)
     assert dict(m.shape) == {"data": n // 2, "model": 2}
+
+
+@pytest.mark.slow
+def test_moco_pretrain_tp_equivalence():
+    """MoCo v3 vit_s under tensor_parallel=2: encoder+momentum+predictor state
+    placed by the TP rules, InfoNCE einsum partitioned over data — final
+    encoder params ~= the DP run's (same tolerance rationale as the MAE
+    test)."""
+    import os
+    import tempfile
+
+    import ssl4gie_tpu.ssl.pretrain as pre
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+    from ssl4gie_tpu.core.config import (Architecture, DataConfig,
+                                         PretrainConfig, RuntimeConfig,
+                                         SSLFramework)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def cfg(tmp, tp):
+        return PretrainConfig(
+            framework=SSLFramework.MOCOV3, architecture=Architecture.VIT_S,
+            epochs=2, warmup_epochs=0, batch_size=8, img_size=32,
+            moco_dim=32, moco_mlp_dim=64,
+            data=DataConfig(synthetic=True, synthetic_size=16, num_workers=2),
+            runtime=RuntimeConfig(compute_dtype="float32", log_every=1,
+                                  scan_steps=1, tensor_parallel=tp),
+            ckpt_dir=os.path.join(tmp, "pre"))
+
+    def run(tmp, tp):
+        path = pre.run_pretraining(cfg(tmp, tp))
+        mgr = ckpt_lib.CheckpointManager(os.path.dirname(path),
+                                         os.path.basename(path))
+        return mgr.restore()["params"]
+
+    with tempfile.TemporaryDirectory() as ta, \
+            tempfile.TemporaryDirectory() as tb:
+        p_dp = jax.tree_util.tree_leaves(run(ta, 1))
+        p_tp = jax.tree_util.tree_leaves(run(tb, 2))
+        assert len(p_dp) == len(p_tp)
+        for a, b in zip(p_dp, p_tp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=5e-5)
