@@ -136,5 +136,27 @@ def main(with_loader: bool = False):
     }))
 
 
+def _watchdog(seconds: int = 1200):
+    """If the TPU relay is unreachable, jax backend init hangs forever; emit
+    one honest JSON line instead of wedging the driver. SIGALRM only — no
+    effect on a healthy run (the alarm is cancelled on completion)."""
+    import signal
+
+    def fire(signum, frame):
+        print(json.dumps({
+            "metric": "vit_b_224_finetune_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench did not complete within {seconds}s "
+                     "(TPU relay unreachable?)",
+        }), flush=True)
+        raise SystemExit(3)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _watchdog()
     main(with_loader="--with-loader" in sys.argv)
