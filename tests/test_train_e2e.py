@@ -95,3 +95,25 @@ def test_classification_e2e_tensor_parallel():
         assert qkv["bias"].sharding.spec == P("model")
         best = trainer.fit()
         assert best is not None and 0.0 <= best <= 1.0
+
+
+def test_classification_e2e_fsdp():
+    """--fsdp through build_trainer: params+opt sharded over the data axis,
+    one full fit epoch, resume re-places with the same layout."""
+    from jax.sharding import PartitionSpec as P
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tiny_config(Task.CLASSIFICATION, Architecture.VIT_B, tmp,
+                          epochs=1)
+        cfg.runtime.fsdp = True
+        trainer = build_trainer(cfg)
+        qkv = trainer.state.params["backbone"]["blocks_0"]["attn"]["qkv"]
+        # (768, 2304) kernel: dim 0 sharded 8-way over data
+        assert qkv["kernel"].sharding.spec == P("data", None)
+        assert qkv["kernel"].addressable_shards[0].data.shape[0] == 768 // 8
+        best = trainer.fit()
+        assert best is not None and 0.0 <= best <= 1.0
+        trainer2 = build_trainer(cfg)
+        trainer2.maybe_resume()
+        q2 = trainer2.state.params["backbone"]["blocks_0"]["attn"]["qkv"]
+        assert q2["kernel"].sharding.spec == P("data", None)   # kept on resume
