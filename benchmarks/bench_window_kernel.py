@@ -182,7 +182,8 @@ def bench(layer, name, n_steps=STEPS):
     def run(x):
         def body(x, _):
             v, g = grad_fn(x)
-            return x - (1e-6 * v) * g, v
+            upd = ((1e-6 * v) * g.astype(jnp.float32)).astype(x.dtype)
+            return x - upd, v
         _, vs = jax.lax.scan(body, x, None, length=n_steps)
         return vs
 
