@@ -59,13 +59,16 @@ def _open_rgb_short_side(path: str, size: int) -> np.ndarray:
     if im.mode != "RGB":
         im = im.convert("RGB")
     w, h = im.size
+    # torchvision _compute_resized_output_size TRUNCATES the long side
+    # (int(size * long / short)), it does not round.
     if w <= h:
-        nw, nh = size, max(size, int(round(size * h / w)))
+        nw, nh = size, max(size, int(size * h / w))
     else:
-        nh, nw = size, max(size, int(round(size * w / h)))
+        nh, nw = size, max(size, int(size * w / h))
     im = im.resize((nw, nh), Image.BILINEAR)
-    left = (nw - size) // 2
-    top = (nh - size) // 2
+    # torchvision CenterCrop rounds the offset: int(round((n - size) / 2))
+    left = int(round((nw - size) / 2))
+    top = int(round((nh - size) / 2))
     im = im.crop((left, top, left + size, top + size))
     return np.asarray(im, dtype=np.uint8)
 
@@ -208,6 +211,7 @@ def transfer_eval_batch(img_u8, input_size: int = 224):
     if (H, W) != (load, load):
         # half-pixel bilinear == torchvision Resize(align_corners=False)
         img = jax.image.resize(img, (B, load, load, C), "bilinear")
-    off = (load - input_size) // 2
+    # torchvision CenterCrop offset rule: int(round((load - input_size) / 2))
+    off = int(round((load - input_size) / 2))
     img = img[:, off:off + input_size, off:off + input_size]
     return normalize(img)
