@@ -36,6 +36,13 @@ def main():
                    dest="compute_dtype")
     p.add_argument("--ckpt-dir", type=str, default="Pretrained models",
                    dest="ckpt_dir")
+    p.add_argument("--save-every", type=int, default=None, dest="save_every",
+                   help="retained-checkpoint interval in epochs (default: "
+                        "MAE 20 like main_pretrain.py:197, MoCo 1 like "
+                        "main_moco.py:310)")
+    p.add_argument("--keep-last", type=int, default=0, dest="keep_last",
+                   help="prune retained checkpoints to the newest N "
+                        "(0 = keep all, the reference behavior)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tensor-parallel", "--tp", type=int, default=1,
                    dest="tensor_parallel",
@@ -84,6 +91,7 @@ def main():
         batch_size=args.batch_size, mask_ratio=args.mask_ratio,
         norm_pix_loss=not args.no_norm_pix, moco_momentum=args.moco_m,
         moco_temperature=args.moco_t, optimizer=opt,
+        save_every=args.save_every, keep_last=args.keep_last,
         model_kwargs={"remat": True} if args.remat else {},
         data=DataConfig(data_root=args.data_root, synthetic=args.synthetic),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,

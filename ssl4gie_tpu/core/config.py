@@ -196,6 +196,13 @@ class PretrainConfig:
     moco_temperature: float = 0.2
     moco_stop_grad_patch_embed: bool = True   # --stop-grad-conv1 (ViT recipe)
     optimizer: str = "adamw"           # adamw | lars
+    # retained numbered checkpoints: every `save_every` epochs a full-state
+    # slot is kept (None -> framework default: MoCo every epoch like
+    # `main_moco.py:310-316`, MAE every 20 + last like `main_pretrain.py:197`);
+    # keep_last prunes to the newest N numbered slots (0 = keep all, the
+    # reference behavior)
+    save_every: Optional[int] = None
+    keep_last: int = 0
     model_kwargs: dict = dataclasses.field(default_factory=dict)  # size overrides (tests)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)

@@ -88,6 +88,35 @@ def discover_unlabeled(root: str):
     return sorted(paths)
 
 
+def _retained_save(cfg: PretrainConfig, full_state, epoch: int) -> None:
+    """Retained numbered checkpoint slots, the reference's history protocol.
+
+    MoCo keeps EVERY epoch as `checkpoint_%04d` (0-based,
+    `Models/moco_v3/main_moco.py:310-316`); MAE keeps `checkpoint-%d` when
+    `epoch0 % 20 == 0 or epoch0 + 1 == epochs`
+    (`Models/mae/main_pretrain.py:197-204`, `util/misc.py:295-309`) — so any
+    epoch's encoder can seed a downstream finetune (the paper's
+    100/300/1000-epoch ablations). `cfg.keep_last > 0` adds a beyond-reference
+    retention cap (newest N numbered slots). Caller is already primary-gated.
+    """
+    is_mae = cfg.framework == SSLFramework.MAE
+    every = cfg.save_every or (20 if is_mae else 1)
+    epoch0 = epoch - 1                     # the reference epoch loop is 0-based
+    if epoch0 % every != 0 and epoch != cfg.epochs:
+        return
+    name = ("checkpoint-%d" % epoch0) if is_mae else ("checkpoint_%04d" % epoch0)
+    slot = ckpt_lib.CheckpointManager(cfg.ckpt_dir, name)
+    slot.save({"state": full_state, "meta": {"epoch": epoch}})
+    if cfg.keep_last > 0:
+        import re
+        pat = re.compile(r"^checkpoint-(\d+)$" if is_mae
+                         else r"^checkpoint_(\d{4})$")
+        slots = sorted((int(m.group(1)), d) for d in os.listdir(cfg.ckpt_dir)
+                       if (m := pat.match(d)))
+        for _, stale in slots[:-cfg.keep_last]:
+            ckpt_lib.CheckpointManager(cfg.ckpt_dir, stale).delete()
+
+
 def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int] = None):
     tp = getattr(cfg.runtime, "tensor_parallel", 1)
     # Resolve the MAE size preset early: TP needs the head counts for its
@@ -196,6 +225,7 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
                 return
             ckpt.save({"params": full["params"], "meta": {"epoch": epoch}})
             resume_ckpt.save({"state": full, "meta": {"epoch": epoch}})
+            _retained_save(cfg, full, epoch)
 
         start_epoch = 1
         if resume_ckpt.exists():
@@ -278,6 +308,7 @@ def run_pretraining(cfg: PretrainConfig, steps_per_epoch_override: Optional[int]
         ckpt.save({"params": full["params"]["encoder"],
                    "meta": {"epoch": epoch}})
         resume_ckpt.save({"state": full, "meta": {"epoch": epoch}})
+        _retained_save(cfg, full, epoch)
 
     start_epoch = 1
     if resume_ckpt.exists():

@@ -394,3 +394,60 @@ def test_mae_remat_is_numerically_identical():
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pretrain_retained_checkpoints_mae():
+    """The retained-history protocol (`Models/mae/main_pretrain.py:197-204`):
+    a 3-epoch run with the MAE rule (epoch0 % every == 0 or last) keeps
+    checkpoint-0 and checkpoint-2 but not checkpoint-1, alongside the export
+    and .resume slots; each numbered slot restores with its epoch meta."""
+    import dataclasses
+
+    import ssl4gie_tpu.ssl.pretrain as pre
+    from ssl4gie_tpu.core import checkpoint as ckpt_lib
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = dataclasses.replace(_tiny_mae_cfg(tmp, epochs=3), save_every=2)
+        pre.run_pretraining(cfg)
+        names = sorted(os.listdir(cfg.ckpt_dir))
+        assert "checkpoint-0" in names          # epoch0 0 % 2 == 0
+        assert "checkpoint-1" not in names
+        assert "checkpoint-2" in names          # last epoch always retained
+        restored = ckpt_lib.CheckpointManager(cfg.ckpt_dir,
+                                              "checkpoint-2").restore()
+        assert int(restored["meta"]["epoch"]) == 3
+        assert "params" in restored["state"] and "opt_state" in restored["state"]
+
+
+def test_retained_save_moco_naming_and_retention():
+    """MoCo naming contract `checkpoint_%04d` (0-based epoch,
+    `main_moco.py:310-316`) + the beyond-reference keep_last pruning."""
+    from ssl4gie_tpu.core.config import PretrainConfig, SSLFramework
+    from ssl4gie_tpu.ssl.pretrain import _retained_save
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = PretrainConfig(framework=SSLFramework.MOCOV3, epochs=3,
+                             keep_last=2, ckpt_dir=tmp)
+        state = {"w": np.ones((2, 2), np.float32)}
+        for epoch in (1, 2, 3):                 # default MoCo every=1
+            _retained_save(cfg, state, epoch)
+        names = sorted(d for d in os.listdir(tmp) if d.startswith("checkpoint"))
+        assert names == ["checkpoint_0001", "checkpoint_0002"]
+
+
+def test_pretrain_cli_threads_retention_flags(monkeypatch):
+    """--save-every/--keep-last reach PretrainConfig through the CLI."""
+    import sys
+
+    from ssl4gie_tpu.cli import pretrain as cli
+
+    seen = {}
+    monkeypatch.setattr("ssl4gie_tpu.ssl.pretrain.run_pretraining",
+                        lambda cfg: seen.setdefault("cfg", cfg) and "" or "")
+    monkeypatch.setattr(sys, "argv", [
+        "pretrain", "--framework", "mae", "--architecture", "vit_b",
+        "--synthetic", "--epochs", "2", "--batch-size", "8",
+        "--save-every", "5", "--keep-last", "3"])
+    cli.main()
+    cfg = seen["cfg"]
+    assert cfg.save_every == 5 and cfg.keep_last == 3
