@@ -11,10 +11,19 @@ left the transposes. This kernel removes all of it:
   reshape/transpose/pad on either side of the kernel (the 64-lane in-kernel
   head slices are register shifts, not HBM traffic);
 - the whole sequence fits in one VMEM block (N <= 512), so the backward
-  recomputes the softmax from the qkv residual instead of saving lse/delta;
-- out-of-bounds block rows (N=197 -> 256-row block) are zeroed in-kernel;
-  padded key columns are masked to -1e30 before the softmax. All matmuls run
-  in the input dtype (bf16) with f32 accumulation.
+  recomputes the softmax from the qkv residual instead of saving lse/delta.
+
+Round-4 rewrite (the A/B-sweep winner, `benchmarks/bench_attention_kernel.py`
+v3: 49.8 ms vs 53.5 ms for the round-2 kernel over 12 ViT-B layers fwd+bwd):
+- blocks are trimmed to the 16-row sublane multiple (N=197 -> 208 rows, not
+  256): 19% less row work on every matmul;
+- no (Nb, Nb) column masks: k/v out-of-bounds ROWS are zeroed with a cheap
+  (Nb, Dh) mask, which makes padded score columns exactly q·0 = 0, and the
+  softmax denominator is corrected analytically, l = sum(exp(s-m)) -
+  pad·exp(-m);
+- the 1/sqrt(Dh) scale is folded into q once instead of rescaling the
+  (Nb, Nb) score matrix.
+All matmuls run in the input dtype (bf16) with f32 accumulation.
 
 The reference computes the same math eagerly in torch (`Models/models.py:202-206`).
 """
@@ -32,13 +41,15 @@ MAX_FUSED_SEQ = 512
 
 
 def _block_len(n: int) -> int:
-    return max(128, -(-n // 128) * 128)
+    """Sublane-trimmed block length: the next multiple of 16 rows (bf16
+    sublane tile), floored at 128 — 208 for ViT-B's N=197."""
+    return max(128, -(-n // 16) * 16)
 
 
 def _img_group(B: int) -> int:
     """Images fused per program: amortizes program-launch overhead over more
-    MXU work (a single 197-token image is only ~0.2 ms of matmul). G=4 blows
-    the ~14 MB scoped VMEM budget in the backward (qkv+do+dqkv blocks)."""
+    MXU work (a single 197-token image is only ~0.2 ms of matmul). G=4 was
+    measured equal-or-slower for both fwd and bwd (bench v2g4/v2g44)."""
     return 2 if B % 2 == 0 else 1
 
 
@@ -46,23 +57,24 @@ def _fwd_kernel(qkv_ref, o_ref, *, H, Dh, scale, n, G):
     C = H * Dh
     dt = qkv_ref.dtype
     Nb = qkv_ref.shape[1]
+    pad = float(Nb - n)
     row1 = jax.lax.broadcasted_iota(jnp.int32, (Nb, Dh), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Nb, Nb), 1)
     for g in range(G):
         blk = qkv_ref[g]                                    # (Nb, 3C)
         for h in range(H):
-            q = blk[:, h * Dh:(h + 1) * Dh]
-            k = blk[:, C + h * Dh:C + (h + 1) * Dh]
-            # v's OOB rows must be zeroed: padded columns of p are exactly zero,
-            # but 0 * garbage(NaN) would poison p @ v. k needs no zeroing (its
-            # garbage lands in masked score columns).
+            q = blk[:, h * Dh:(h + 1) * Dh] * jnp.asarray(scale, dt)
+            # zeroing k's OOB rows makes padded score COLUMNS exactly 0 (so no
+            # (Nb, Nb) mask is needed); v's OOB rows are zeroed so the nonzero
+            # padded p columns hit zero v rows. Garbage q rows only corrupt
+            # output rows >= n, which the (B, N, C) block write discards.
+            k = jnp.where(row1 < n, blk[:, C + h * Dh:C + (h + 1) * Dh], 0)
             v = jnp.where(row1 < n,
                           blk[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh], 0)
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            s = jnp.where(col < n, s, -1e30)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
+            # the pad columns each contribute exp(0 - m); subtract analytically
+            l = jnp.sum(p, axis=-1, keepdims=True) - pad * jnp.exp(-m)
             o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32) / l
             o_ref[g, :, h * Dh:(h + 1) * Dh] = o.astype(dt)
 
@@ -71,38 +83,42 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, H, Dh, scale, n, G):
     C = H * Dh
     dt = qkv_ref.dtype
     Nb = qkv_ref.shape[1]
+    pad = float(Nb - n)
     row1 = jax.lax.broadcasted_iota(jnp.int32, (Nb, Dh), 0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Nb, Nb), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Nb, Nb), 1)
     for g in range(G):
         blk = qkv_ref[g]
         dob = do_ref[g]
         for h in range(H):
-            # zero every OOB row: all four tensors feed matmuls against tensors
-            # whose matching slots are zero — 0 * NaN must not occur.
-            q = jnp.where(row1 < n, blk[:, h * Dh:(h + 1) * Dh], 0)
+            # q/do OOB rows are zeroed too: both feed row-contractions (dk/dv)
+            # where garbage rows would poison valid outputs.
+            qs = jnp.where(row1 < n,
+                           blk[:, h * Dh:(h + 1) * Dh], 0) * jnp.asarray(scale, dt)
             k = jnp.where(row1 < n, blk[:, C + h * Dh:C + (h + 1) * Dh], 0)
             v = jnp.where(row1 < n,
                           blk[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh], 0)
             do = jnp.where(row1 < n, dob[:, h * Dh:(h + 1) * Dh], 0)
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            s = jnp.where((row < n) & (col < n), s, -1e30)
+            s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)      # true softmax rows
-            p = jnp.where(row < n, p, 0.0)
+            l = jnp.sum(e, axis=-1, keepdims=True) - pad * jnp.exp(-m)
+            p = e / l
+            # padded p columns = exp(-m)/l != 0, but dp's padded columns are 0
+            # (v rows zeroed) so delta is exact; ds's nonzero padded columns
+            # hit k's zero rows in dq; garbage dk/dv padded ROWS are discarded
+            # by the (B, N, 3C) block write.
             dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
             delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # = rowsum(do * o)
-            ds = (p * (dp - delta) * scale).astype(dt)
+            ds = (p * (dp - delta)).astype(dt)
             pb = p.astype(dt)
             # x^T @ y as a dim-0 contraction — lets Mosaic feed the MXU
             # directly instead of materializing the (Nb, Nb) transpose in VMEM
             dgT = lambda a, b: jax.lax.dot_general(
                 a, b, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dqkv_ref[g, :, h * Dh:(h + 1) * Dh] = jnp.dot(
-                ds, k, preferred_element_type=jnp.float32).astype(dt)
-            dqkv_ref[g, :, C + h * Dh:C + (h + 1) * Dh] = dgT(ds, q).astype(dt)
+            # dq = scale * (ds_true @ k); dk = ds_true^T @ (scale*q) = ds^T @ qs
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dqkv_ref[g, :, h * Dh:(h + 1) * Dh] = dq.astype(dt)
+            dqkv_ref[g, :, C + h * Dh:C + (h + 1) * Dh] = dgT(ds, qs).astype(dt)
             dqkv_ref[g, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh] = \
                 dgT(pb, do).astype(dt)
 
