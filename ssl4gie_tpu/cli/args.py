@@ -62,6 +62,17 @@ def add_train(p: argparse.ArgumentParser):
                    help="cutmix alpha (classification; MAE finetune used 1.0)")
     p.add_argument("--smoothing", type=float, default=0.0, dest="label_smoothing",
                    help="label smoothing (classification; MAE finetune used 0.1)")
+    p.add_argument("--drop-path", "--drop_path", type=float, default=0.0,
+                   dest="drop_path",
+                   help="stochastic depth rate (ViT classification; MAE "
+                        "finetune used 0.1)")
+    p.add_argument("--aa", type=str, default=None,
+                   help="timm AutoAugment policy, e.g. rand-m9-mstd0.5-inc1 "
+                        "(the MAE finetune default); replaces the GI-task "
+                        "jitter/blur/rotation train stack")
+    p.add_argument("--reprob", type=float, default=0.0,
+                   help="random-erasing probability (timm pixel mode; MAE "
+                        "finetune used 0.25)")
     p.add_argument("--ckpt-dir", type=str, default="Trained models", dest="ckpt_dir")
     p.add_argument("--tensor-parallel", "--tp", type=int, default=1,
                    dest="tensor_parallel",
@@ -97,7 +108,10 @@ def to_train_config(args) -> TrainConfig:
             layer_decay=getattr(args, "layer_decay", None),
             mixup=getattr(args, "mixup", 0.0),
             cutmix=getattr(args, "cutmix", 0.0),
-            label_smoothing=getattr(args, "label_smoothing", 0.0)),
+            label_smoothing=getattr(args, "label_smoothing", 0.0),
+            drop_path=getattr(args, "drop_path", 0.0),
+            auto_augment=getattr(args, "aa", None),
+            reprob=getattr(args, "reprob", 0.0)),
         runtime=RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
                               tensorboard=getattr(args, "tensorboard", False),
                               tensor_parallel=getattr(args, "tensor_parallel", 1),

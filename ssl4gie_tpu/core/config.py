@@ -105,6 +105,12 @@ class OptimConfig:
     mixup: float = 0.0                 # --mixup alpha (MAE default 0.8)
     cutmix: float = 0.0                # --cutmix alpha (MAE default 1.0)
     label_smoothing: float = 0.0       # --smoothing (MAE default 0.1)
+    drop_path: float = 0.0             # --drop_path stochastic depth (MAE 0.1)
+    # timm-style train augmentation (the vendored finetune recipe's defaults
+    # `main_finetune.py:82,88`: --aa rand-m9-mstd0.5-inc1, --reprob 0.25).
+    # auto_augment None/"" leaves the SSL4GIE GI-task augmentation stack on.
+    auto_augment: Optional[str] = None
+    reprob: float = 0.0
     # torch AdamW defaults that the reference inherits:
     b1: float = 0.9
     b2: float = 0.999
@@ -163,6 +169,13 @@ class TrainConfig:
                 raise ValueError("--probe requires --ss-framework mocov3 or mae "
                                  "(the reference has probe scripts only for "
                                  "those frameworks)")
+        if ((self.optim.auto_augment or self.optim.reprob > 0
+             or self.optim.drop_path > 0)
+                and self.task != Task.CLASSIFICATION):
+            # the timm finetune-recipe knobs only exist on the MAE finetune
+            # path (`Models/mae/main_finetune.py:57,82,88`)
+            raise ValueError("--aa/--reprob/--drop-path apply to "
+                             "classification finetuning only")
         return self
 
     def run_name(self) -> str:

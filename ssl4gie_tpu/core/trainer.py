@@ -48,6 +48,10 @@ class TaskDefinition:
     # ((key, img, targets) -> (img, targets)); classification mixup/cutmix
     # (`Models/mae/main_finetune.py:219-226`)
     mixup_fn: Optional[Callable] = None
+    # optional replacement train transform ((key, img_u8) -> img), overriding
+    # the aug_mode stack: the probe recipe (RRC+hflip only) or the timm
+    # --aa/--reprob finetune stack (`data/randaug.py`)
+    aug_fn: Optional[Callable] = None
 
 
 def make_train_step(task: TaskDefinition, accum_steps: int = 1,
@@ -203,8 +207,11 @@ class Trainer:
         tgt = batch.get(self.task.target_key) \
             if self.task.target_key in ("mask", "depth") else None
         kaug, kmix = jax.random.split(key)
-        img, tgt = augment_train_batch(kaug, batch["image"], tgt,
-                                       mode=self.task.aug_mode)
+        if self.task.aug_fn is not None:
+            img = self.task.aug_fn(kaug, batch["image"])
+        else:
+            img, tgt = augment_train_batch(kaug, batch["image"], tgt,
+                                           mode=self.task.aug_mode)
         out = dict(batch, image=img)
         if tgt is not None:
             out[self.task.target_key] = tgt

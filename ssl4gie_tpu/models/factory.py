@@ -57,15 +57,21 @@ def build_model(task: Task, architecture: Architecture, *, num_classes: int = 1,
                 out_token: str = "cls", img_size: int = 224,
                 dtype: jnp.dtype = jnp.float32,
                 probe_bn: bool = False,
+                drop_path: float = 0.0,
                 attn_fn: Optional[Callable] = None) -> nn.Module:
     pet = pos_embed_type_for(pretraining, framework)
     vit = architecture == Architecture.VIT_B
+    if drop_path > 0 and not (vit and task == Task.CLASSIFICATION):
+        # the reference only threads drop_path_rate into the MAE finetune ViT
+        # (`Models/mae/main_finetune.py:229`); no other model family takes it
+        raise ValueError("--drop-path applies to ViT classification only")
 
     if task == Task.CLASSIFICATION:
         if vit:
             return ViTClassifier(num_classes=num_classes, out_token=out_token,
                                  pos_embed_type=pet, img_size=img_size,
                                  dtype=dtype, probe_bn=probe_bn,
+                                 drop_path_rate=drop_path,
                                  attn_fn=attn_fn)
         return ResNetClassifier(num_classes=num_classes, dtype=dtype)
 

@@ -338,8 +338,22 @@ class Attention(nn.Module):
                         name="proj")(out)
 
 
+def drop_path(key, x, rate: float):
+    """Stochastic depth on a residual branch (timm `DropPath`): per-sample
+    Bernoulli keep with 1/keep rescaling (`scale_by_keep=True`, the timm
+    default the MAE finetune recipe inherits via `--drop_path`,
+    `Models/mae/main_finetune.py:57,229`)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
 class Block(nn.Module):
-    """Pre-norm transformer block (timm layout: norm1/attn/norm2/mlp)."""
+    """Pre-norm transformer block (timm layout: norm1/attn/norm2/mlp).
+
+    drop_path_rate > 0 enables stochastic depth on both residual branches
+    (train only; needs a "dropout" rng), like timm's `Block(drop_path=...)`
+    used by the MAE finetune recipe."""
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
@@ -347,13 +361,18 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None
     kernel_init: Callable = TIMM_INIT
+    drop_path_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, grid_hw: Optional[tuple] = None):
+    def __call__(self, x, grid_hw: Optional[tuple] = None,
+                 train: bool = False):
+        sd = self.drop_path_rate > 0 and train
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, window_size=self.window_size,
                       dtype=self.dtype, attn_fn=self.attn_fn,
                       kernel_init=self.kernel_init, name="attn")(h, grid_hw)
+        if sd:
+            h = drop_path(self.make_rng("dropout"), h, self.drop_path_rate)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         # NOTE: rematting the MLP (checkpoint_dots, recompute-GELU-in-backward)
@@ -361,6 +380,8 @@ class Block(nn.Module):
         # boundary breaks XLA's fc1+gelu fusion — so the block stays plain.
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                 kernel_init=self.kernel_init, name="mlp")(h)
+        if sd:
+            h = drop_path(self.make_rng("dropout"), h, self.drop_path_rate)
         return x + h
 
 

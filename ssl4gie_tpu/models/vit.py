@@ -50,6 +50,9 @@ class ViTBackbone(nn.Module):
     dense_taps: Sequence[int] = DENSE_TAPS
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None  # pluggable attention kernel
+    # stochastic depth: per-block rates linspace(0, rate, depth) like timm
+    # (`Models/mae/main_finetune.py:229` -> models_vit drop_path_rate)
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -100,9 +103,11 @@ class ViTBackbone(nn.Module):
         taps = []
         for i in range(self.depth):
             window = DET_WINDOW if (det and i not in GLOBAL_ATTN_BLOCKS) else None
+            dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                       window_size=window, dtype=self.dtype, attn_fn=self.attn_fn,
-                      name=f"blocks_{i}")(x, (gh, gw))
+                      drop_path_rate=dpr,
+                      name=f"blocks_{i}")(x, (gh, gw), train=train)
             if self.mode == "dense" and i in self.dense_taps:
                 taps.append(x)
 
@@ -138,13 +143,16 @@ class ViTClassifier(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None
     probe_bn: bool = False
+    drop_path_rate: float = 0.0    # MAE finetune recipe --drop_path (0.1)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ViTBackbone(img_size=self.img_size, mode="pooled",
                            out_token=self.out_token,
                            pos_embed_type=self.pos_embed_type, dtype=self.dtype,
-                           attn_fn=self.attn_fn, name="backbone")(x, train)
+                           attn_fn=self.attn_fn,
+                           drop_path_rate=self.drop_path_rate,
+                           name="backbone")(x, train)
         feat = feat.astype(jnp.float32)
         if self.probe_bn:
             feat = nn.BatchNorm(use_running_average=not train, momentum=0.9,

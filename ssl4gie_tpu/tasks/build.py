@@ -75,6 +75,21 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
         finalize = lambda preds, targets: cls_metrics.mean_f1(
             jnp.asarray(preds), jnp.asarray(targets), n_class)
         o = cfg.optim
+        aug_fn = None
+        if cfg.probe:
+            # probe train transform is RRC(224)+hflip+normalize ONLY
+            # (`main_lincls.py:273-274`, `main_linprobe.py:133-134`) — never
+            # the GI-task jitter/blur/rotation stack
+            from ssl4gie_tpu.data.randaug import probe_train_batch
+            aug_fn = functools.partial(probe_train_batch,
+                                       out_size=cfg.data.img_size)
+        elif o.auto_augment or o.reprob > 0:
+            # timm create_transform stack (--aa/--reprob finetune recipe)
+            from ssl4gie_tpu.data.randaug import timm_train_batch
+            aug_fn = functools.partial(timm_train_batch,
+                                       out_size=cfg.data.img_size,
+                                       policy=o.auto_augment or "",
+                                       reprob=o.reprob)
         if o.mixup > 0 or o.cutmix > 0 or o.label_smoothing > 0:
             # MAE supervised-finetune recipe (`main_finetune.py:219-226`,
             # `:251-254`): smoothed/soft targets + mixup/cutmix after the
@@ -98,14 +113,16 @@ def make_task_definition(cfg: TrainConfig, extras: dict) -> Tuple[TaskDefinition
                 target_key="label",
                 loss_fn=cls_metrics.soft_target_cross_entropy,
                 eval_metric_fn=None, eval_kind="accumulate_preds",
-                select_mode="max", mixup_fn=mixer)
+                select_mode="max", mixup_fn=mixer, aug_fn=aug_fn,
+                has_dropout=o.drop_path > 0)  # stochastic depth needs an rng
             return td, finalize
         loss_fn = functools.partial(cls_metrics.weighted_cross_entropy,
                                     class_weights=weights)
         td = TaskDefinition(
             name="classification", aug_mode="classification", target_key="label",
             loss_fn=lambda logits, labels: loss_fn(logits, labels),
-            eval_metric_fn=None, eval_kind="accumulate_preds", select_mode="max")
+            eval_metric_fn=None, eval_kind="accumulate_preds", select_mode="max",
+            aug_fn=aug_fn, has_dropout=o.drop_path > 0)
         return td, finalize
 
     if cfg.task == Task.SEGMENTATION:
@@ -179,6 +196,7 @@ def build_trainer(cfg: TrainConfig):
                         pretraining=cfg.pretraining, framework=cfg.ss_framework,
                         out_token=cfg.out_token, img_size=cfg.data.img_size,
                         dtype=dtype, attn_fn=attn_fn,
+                        drop_path=cfg.optim.drop_path,
                         probe_bn=cfg.probe and cfg.ss_framework == SSLFramework.MAE)
 
     rng = jax.random.PRNGKey(cfg.runtime.seed)
