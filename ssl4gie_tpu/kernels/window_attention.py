@@ -11,6 +11,17 @@ touch HBM.
 
 Forward-only kernel with custom VJP: the backward recomputes attention per window
 (flash-style, cheap at 256 tokens) using the same window-blocked layout.
+
+Round-4 tuning (benchmarks/bench_window_kernel.py, v5e, B=2 x 8 windowed
+layers: 10.21 -> 9.51 ms/step, +7%):
+  - scale folded into q: one (N, Dh) elementwise multiply replaces the
+    (N, N) post-matmul scaling, and the backward reuses the scaled q for dk;
+  - softmax kept unnormalized through the p@v matmul; the division lands on
+    the (N, Dh) output instead of the (N, N) matrix (4x fewer VPU ops);
+  - backward x^T@y products as dimension-0-contraction dot_general — no
+    materialized (N, N)/(N, Dh) transposes in VMEM.
+G>1 windows per program measured SLOWER (launch overhead already amortized at
+G=1 with 2,048 programs; bigger blocks only raised VMEM pressure).
 """
 
 from __future__ import annotations
@@ -37,9 +48,12 @@ def _fwd_kernel(qkv_ref, o_ref, *, num_heads, scale):
         qh = qkv_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh)
         kh = qkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh].reshape(N, Dh)
         vh = qkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh].reshape(N, Dh)
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1).astype(dt)
-        oh = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        qs = qh * jnp.asarray(scale, dt)
+        s = jnp.dot(qs, kh.T, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        oh = jnp.dot(e.astype(dt), vh, preferred_element_type=jnp.float32) / l
         o_ref[0, :, :, h * Dh:(h + 1) * Dh] = oh.reshape(ws, ws, Dh).astype(o_ref.dtype)
 
 
@@ -50,25 +64,30 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads, scale):
     Dh = C // num_heads
     N = ws * ws
     dt = qkv_ref.dtype
+    # x^T @ y as a dimension-0 contraction: Mosaic feeds the MXU directly
+    # instead of materializing the transposed operand in VMEM first
+    dgT = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     for h in range(num_heads):
         qh = qkv_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh)
         kh = qkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh].reshape(N, Dh)
         vh = qkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh].reshape(N, Dh)
         gh = g_ref[0, :, :, h * Dh:(h + 1) * Dh].reshape(N, Dh)
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
+        qs = qh * jnp.asarray(scale, dt)
+        s = jnp.dot(qs, kh.T, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
         pb = p.astype(dt)
-        dv = jnp.dot(pb.T, gh, preferred_element_type=jnp.float32)
         dp = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32)
         ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(dt)
         dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale
-        dk = jnp.dot(ds.T, qh, preferred_element_type=jnp.float32) * scale
         dqkv_ref[0, :, :, h * Dh:(h + 1) * Dh] = \
             dq.reshape(ws, ws, Dh).astype(dqkv_ref.dtype)
         dqkv_ref[0, :, :, C + h * Dh:C + (h + 1) * Dh] = \
-            dk.reshape(ws, ws, Dh).astype(dqkv_ref.dtype)
+            dgT(ds, qs).reshape(ws, ws, Dh).astype(dqkv_ref.dtype)
         dqkv_ref[0, :, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh] = \
-            dv.reshape(ws, ws, Dh).astype(dqkv_ref.dtype)
+            dgT(pb, gh).reshape(ws, ws, Dh).astype(dqkv_ref.dtype)
 
 
 def _call_fwd(qkv, num_heads, window, scale):

@@ -174,13 +174,60 @@ class Mlp(nn.Module):
                           name="fc2")(x)
 
 
+def tp_constrain(x, axes):
+    """Pin an activation's layout under the ambient training mesh.
+
+    Two GSPMD propagation failure modes meet here, both surfacing as
+    "[SPMD] Involuntary full rematerialization" (replicate + repartition) on
+    every block's softmax broadcast/div/reduce:
+    - under --tensor-parallel, propagation cannot move the attention
+      intermediates from batch-sharded-over-everything to the head-sharded
+      layout the column-sharded qkv produces; constraining them to
+      P("data", "model", ...) keeps the whole attention partitioned head-wise
+      with zero collectives;
+    - under --fsdp, the row-sharded (over "data") qkv/proj kernels leak their
+      parameter sharding into the attention activations, conflicting with the
+      batch's own "data" sharding; pinning the activations batch-sharded keeps
+      ZeRO's all-gathers on the WEIGHTS where they belong.
+    Axis names absent from (or trivial in) the ambient mesh degrade to None,
+    so the same spec serves TP, DP, and FSDP. No-op when no multi-device mesh
+    is registered (single chip / tests); callers never invoke this inside
+    shard_map (the Pallas dispatch seam), where constraints on manual axes are
+    illegal."""
+    mesh = _PALLAS_MESH
+    if mesh is None or mesh.size == 1:
+        return x
+    axes = tuple(a if (a in mesh.axis_names and mesh.shape[a] > 1
+                       and x.shape[i] % mesh.shape[a] == 0) else None
+                 for i, a in enumerate(axes))
+    if all(a is None for a in axes):
+        # pinning fully-replicated would itself force an all-gather — and this
+        # is the normal case for indivisible shapes (model.init's batch-1
+        # trace, ragged eval tails)
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*axes)))
+
+
 def plain_attention(q, k, v, scale: float):
     """Reference attention math ((q@k^T)*scale -> softmax -> @v,
     `Models/models.py:202-206`) as one fused XLA computation.
     q,k,v: (..., H, N, Dh)."""
+    if q.ndim == 4:   # (B, H, N, Dh): batch over data, heads over model (TP)
+        spec = ("data", "model", None, None)
+        q = tp_constrain(q, spec)
+        k = tp_constrain(k, spec)
+        v = tp_constrain(v, spec)
     attn = jnp.einsum("...hnd,...hmd->...hnm", q, k) * scale
+    if q.ndim == 4:
+        attn = tp_constrain(attn, ("data", "model", None, None))
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("...hnm,...hmd->...hnd", attn, v)
+    if q.ndim == 4:
+        attn = tp_constrain(attn, ("data", "model", None, None))
+    out = jnp.einsum("...hnm,...hmd->...hnd", attn, v)
+    if q.ndim == 4:
+        out = tp_constrain(out, ("data", "model", None, None))
+    return out
 
 
 FLASH_MIN_SEQ = 1024   # blockwise kernel for long sequences (detection)

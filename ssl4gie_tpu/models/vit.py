@@ -144,6 +144,10 @@ class ViTClassifier(nn.Module):
     attn_fn: Optional[Callable] = None
     probe_bn: bool = False
     drop_path_rate: float = 0.0    # MAE finetune recipe --drop_path (0.1)
+    # backbone size knobs (ViT-B defaults; the dryrun uses a shallow variant)
+    depth: int = 12
+    embed_dim: int = 768
+    num_heads: int = 12
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -152,6 +156,8 @@ class ViTClassifier(nn.Module):
                            pos_embed_type=self.pos_embed_type, dtype=self.dtype,
                            attn_fn=self.attn_fn,
                            drop_path_rate=self.drop_path_rate,
+                           depth=self.depth, embed_dim=self.embed_dim,
+                           num_heads=self.num_heads,
                            name="backbone")(x, train)
         feat = feat.astype(jnp.float32)
         if self.probe_bn:

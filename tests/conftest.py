@@ -29,3 +29,14 @@ def has_reference() -> bool:
 
 requires_reference = pytest.mark.skipif(
     not has_reference(), reason="reference repo not mounted")
+
+
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+    """Builders (tasks/build.py, ssl/pretrain.py) register the training mesh
+    globally via layers.set_pallas_mesh; a leaked mesh changes how later tests'
+    programs are partitioned (tp_constrain, shard_pallas_over_batch). Reset it
+    after every test."""
+    yield
+    from ssl4gie_tpu.models import layers
+    layers._PALLAS_MESH = None
