@@ -30,7 +30,10 @@ def main(with_loader: bool = False):
 
     n_chips = jax.device_count()
     mesh = make_mesh()
-    batch_per_chip = 128
+    # B=192/chip measured fastest post round-4 kernel ports (bench_batch_sweep:
+    # 1124.5 @ 128, 1118.3 @ 160, 1134.3 @ 192, 1111.3 @ 224 img/s/chip;
+    # confirmed 1133.4 by the independent bench_xla_options --batch 192 run)
+    batch_per_chip = 192
     B = batch_per_chip * n_chips
 
     model = ViTClassifier(num_classes=6, img_size=224, dtype=jnp.bfloat16)

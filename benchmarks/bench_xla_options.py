@@ -6,11 +6,12 @@ which rejects unknown flags; compilation happens on the axon relay side), but
 jax's per-compile `compiler_options` ARE transmitted and validated remotely —
 so this is the one way to sweep TPU compiler knobs on this container.
 
-    python benchmarks/bench_xla_options.py
+    python benchmarks/bench_xla_options.py [--batch N]
 
 Prints ms/step + img/s for the baseline and each option set.
 """
 
+import sys
 import time
 
 import jax
@@ -19,9 +20,9 @@ import numpy as np
 
 OPTION_SETS = [
     ("baseline", {}),
+    ("scoped_vmem_32M", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
     ("scoped_vmem_48M", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
     ("scoped_vmem_64M", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
-    ("scoped_vmem_80M", {"xla_tpu_scoped_vmem_limit_kib": "81920"}),
     ("baseline_again", {}),
 ]
 REPS = 3
@@ -37,7 +38,9 @@ def main():
 
     n_chips = jax.device_count()
     mesh = make_mesh()
-    B = 128 * n_chips
+    per_chip = (int(sys.argv[sys.argv.index("--batch") + 1])
+                if "--batch" in sys.argv else 128)
+    B = per_chip * n_chips
     N_STEPS = 20
 
     model = ViTClassifier(num_classes=6, img_size=224, dtype=jnp.bfloat16)
