@@ -169,6 +169,127 @@ def _mk_v2(fwd_G=2, bwd_G=2, Nb=256):
     return attn
 
 
+# ---------------------------------------------------------------------------
+# v4: fwd additionally SAVES the normalized softmax matrix p (bf16) so the bwd
+# skips the s-recompute entirely — one fewer matmul and no exp/max/sum VPU work
+# per head, at the cost of a (B, H, Nb, Nb) bf16 residual (~2 MB/program extra
+# HBM write + read). The pad-correction analysis is unchanged: saved p's padded
+# columns are nonzero but dp's padded columns are 0 (v rows zeroed), garbage
+# dk/dv padded rows are discarded by the block write.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_v4(qkv_ref, o_ref, p_ref, *, H, Dh, scale, n, G):
+    C = H * Dh
+    dt = qkv_ref.dtype
+    Nb = qkv_ref.shape[1]
+    pad = float(Nb - n)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (Nb, Dh), 0)
+    for g in range(G):
+        blk = qkv_ref[g]
+        for h in range(H):
+            q = blk[:, h * Dh:(h + 1) * Dh] * jnp.asarray(scale, dt)
+            k = jnp.where(row1 < n, blk[:, C + h * Dh:C + (h + 1) * Dh], 0)
+            v = jnp.where(row1 < n,
+                          blk[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh], 0)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True) - pad * jnp.exp(-m)
+            p = e / l
+            pb = p.astype(dt)
+            o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
+            o_ref[g, :, h * Dh:(h + 1) * Dh] = o.astype(dt)
+            p_ref[g, h] = pb
+
+
+def _bwd_kernel_v4(qkv_ref, p_ref, do_ref, dqkv_ref, *, H, Dh, scale, n, G):
+    C = H * Dh
+    dt = qkv_ref.dtype
+    Nb = qkv_ref.shape[1]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (Nb, Dh), 0)
+    for g in range(G):
+        blk = qkv_ref[g]
+        dob = do_ref[g]
+        for h in range(H):
+            qs = jnp.where(row1 < n,
+                           blk[:, h * Dh:(h + 1) * Dh], 0) * jnp.asarray(scale, dt)
+            k = jnp.where(row1 < n, blk[:, C + h * Dh:C + (h + 1) * Dh], 0)
+            v = jnp.where(row1 < n,
+                          blk[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh], 0)
+            do = jnp.where(row1 < n, dob[:, h * Dh:(h + 1) * Dh], 0)
+            pb = p_ref[g, h]
+            p = pb.astype(jnp.float32)
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta)).astype(dt)
+            dgT = lambda a, b: jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dqkv_ref[g, :, h * Dh:(h + 1) * Dh] = dq.astype(dt)
+            dqkv_ref[g, :, C + h * Dh:C + (h + 1) * Dh] = dgT(ds, qs).astype(dt)
+            dqkv_ref[g, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh] = \
+                dgT(pb, do).astype(dt)
+
+
+def _mk_v4(fwd_G=2, bwd_G=2, Nb=208):
+
+    def fwd(qkv):
+        Bq = qkv.shape[0]
+        G = fwd_G if Bq % fwd_G == 0 else 1
+        o, p = pl.pallas_call(
+            functools.partial(_fwd_kernel_v4, H=H, Dh=Dh, scale=SCALE, n=N,
+                              G=G),
+            grid=(Bq // G,),
+            in_specs=[pl.BlockSpec((G, Nb, 3 * C), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((G, Nb, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, H, Nb, Nb), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bq, N, C), qkv.dtype),
+                jax.ShapeDtypeStruct((Bq, H, Nb, Nb), qkv.dtype),
+            ],
+        )(qkv)
+        return o, p
+
+    @jax.custom_vjp
+    def attn(qkv):
+        return fwd(qkv)[0]
+
+    def fwd_vjp(qkv):
+        o, p = fwd(qkv)
+        return o, (qkv, p)
+
+    def bwd_vjp(res, g):
+        qkv, p = res
+        Bq = qkv.shape[0]
+        G = bwd_G if Bq % bwd_G == 0 else 1
+        dqkv = pl.pallas_call(
+            functools.partial(_bwd_kernel_v4, H=H, Dh=Dh, scale=SCALE, n=N,
+                              G=G),
+            grid=(Bq // G,),
+            in_specs=[
+                pl.BlockSpec((G, Nb, 3 * C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, H, Nb, Nb), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, Nb, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, Nb, 3 * C), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bq, N, 3 * C), qkv.dtype),
+        )(qkv, p, g)
+        return (dqkv,)
+
+    attn.defvjp(fwd_vjp, bwd_vjp)
+    return attn
+
+
 def bench(layer, name, n_steps=STEPS):
     def loss(x):
         # tile-glue (a cheap copy, ~0.3 ms/layer) instead of a mixing matmul:
@@ -211,20 +332,28 @@ def bench(layer, name, n_steps=STEPS):
 
 
 def check_v2(attn=None):
-    """Numerical parity of a variant vs the current kernel (fwd + grads)."""
+    """Numerical parity of a variant vs the current kernel (fwd + grads).
+    Runs jitted under the production 48 MiB scoped-VMEM cap — eager pallas
+    calls get the 16 MiB default, which the larger variants exceed."""
     attn = attn or _mk_v2()
     small = x0[:8]
-    f0 = fused_layer(small)
-    f2 = attn(small)
-    err_f = float(jnp.max(jnp.abs(f0.astype(jnp.float32) -
-                                  f2.astype(jnp.float32))))
-    g = jnp.ones_like(f0)
-    g0 = jax.vjp(fused_layer, small)[1](g)[0]
-    g2 = jax.vjp(attn, small)[1](g)[0]
-    err_g = float(jnp.max(jnp.abs(g0.astype(jnp.float32) -
-                                  g2.astype(jnp.float32))))
-    print(f"v2 parity vs current: fwd max|d|={err_f:.3e} "
-          f"bwd max|d|={err_g:.3e}")
+
+    @functools.partial(jax.jit, **jit_kwargs("classification"))
+    def both(small):
+        f0 = fused_layer(small)
+        f2 = attn(small)
+        g = jnp.ones_like(f0)
+        g0 = jax.vjp(fused_layer, small)[1](g)[0]
+        g2 = jax.vjp(attn, small)[1](g)[0]
+        err_f = jnp.max(jnp.abs(f0.astype(jnp.float32) -
+                                f2.astype(jnp.float32)))
+        err_g = jnp.max(jnp.abs(g0.astype(jnp.float32) -
+                                g2.astype(jnp.float32)))
+        return err_f, err_g
+
+    err_f, err_g = both(small)
+    print(f"variant parity vs current: fwd max|d|={float(err_f):.3e} "
+          f"bwd max|d|={float(err_g):.3e}")
 
 
 if __name__ == "__main__":
@@ -252,3 +381,15 @@ if __name__ == "__main__":
         # bwd G=4 needs ~22 MB of double-buffered blocks: only fits under the
         # 48 MiB scoped-VMEM cap (now applied to the timed jit above)
         bench(_mk_v2(4, 4), "v2 narrow-mask G4/4 ")
+    if which == "v3g44":
+        # G=4 retry at the trimmed 208-row block: the VMEM pressure that sank
+        # v2g44 at Nb=256 is 34% lower here
+        if do_check:
+            check_v2(_mk_v2(4, 4, Nb=208))
+        bench(_mk_v2(4, 4, Nb=208), "v3 208-row G4/4     ")
+    if which == "v4":
+        # save-p backward: one fewer bwd matmul, no bwd exp/max/sum, at the
+        # cost of a (B, H, 208, 208) bf16 residual through HBM
+        if do_check:
+            check_v2(_mk_v4(2, 2))
+        bench(_mk_v4(2, 2), "v4 save-p G2/2      ")

@@ -83,16 +83,23 @@ def _byol_view(key, img, out_size: int, crop_scale, blur_p: float,
                solarize_p: float):
     k = jax.random.split(key, 11)
     v = random_resized_crop(k[0], img, out_size, scale=crop_scale)
-    # ColorJitter(0.4, 0.4, 0.2, 0.1) applied w.p. 0.8
+    # ColorJitter(0.4, 0.4, 0.2, 0.1) applied w.p. 0.8. Factors are cast to
+    # the image dtype (like color_jitter's) — a raw f32 factor would silently
+    # promote the whole downstream pipeline back to f32 on the bf16 TPU path.
     B = v.shape[0]
+    dt = v.dtype
     jittered = _adjust_brightness(
-        v, jax.random.uniform(k[1], (B, 1, 1, 1), minval=0.6, maxval=1.4))
+        v, jax.random.uniform(k[1], (B, 1, 1, 1), minval=0.6,
+                              maxval=1.4).astype(dt))
     jittered = _adjust_contrast(
-        jittered, jax.random.uniform(k[2], (B, 1, 1, 1), minval=0.6, maxval=1.4))
+        jittered, jax.random.uniform(k[2], (B, 1, 1, 1), minval=0.6,
+                                     maxval=1.4).astype(dt))
     jittered = _adjust_saturation(
-        jittered, jax.random.uniform(k[3], (B, 1, 1, 1), minval=0.8, maxval=1.2))
+        jittered, jax.random.uniform(k[3], (B, 1, 1, 1), minval=0.8,
+                                     maxval=1.2).astype(dt))
     jittered = _adjust_hue(
-        jittered, jax.random.uniform(k[4], (B, 1, 1), minval=-0.1, maxval=0.1))
+        jittered, jax.random.uniform(k[4], (B, 1, 1), minval=-0.1,
+                                     maxval=0.1).astype(dt))
     v = _masked(k[5], v, jittered, 0.8)
     # grayscale w.p. 0.2
     gray = jnp.broadcast_to(_grayscale(v), v.shape)
@@ -107,12 +114,23 @@ def _byol_view(key, img, out_size: int, crop_scale, blur_p: float,
         v = _masked(k[9], v, sol, solarize_p)
     flip = jax.random.uniform(k[10], (B, 1, 1, 1)) > 0.5
     v = jnp.where(flip, v[:, :, ::-1], v)
-    return normalize(v)
+    return normalize(v.astype(jnp.float32))
+
+
+def _aug_dtype():
+    """bf16 on TPU, like the classification pipeline (`augment.py`): the
+    encoders consume bf16 anyway and bf16's ~3-decimal-digit resolution on
+    [0,1] sits at the uint8 quantization floor the pipeline starts from.
+    Measured on v5e: the f32 two-crop pipeline was ~89 ms of the 307 ms MoCo
+    step (device profile, `benchmarks/profile_step.py moco`); bf16 halves its
+    HBM traffic. CPU (tests) keeps f32 — exact-math parity tests are
+    unaffected."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "crop_min"))
 def moco_two_crops(key, img_u8, out_size: int = 224, crop_min: float = 0.08):
-    img = img_u8.astype(jnp.float32) / 255.0
+    img = img_u8.astype(_aug_dtype()) / 255.0
     k1, k2 = jax.random.split(key)
     v1 = _byol_view(k1, img, out_size, (crop_min, 1.0), blur_p=1.0, solarize_p=0.0)
     v2 = _byol_view(k2, img, out_size, (crop_min, 1.0), blur_p=0.1, solarize_p=0.2)
@@ -121,10 +139,10 @@ def moco_two_crops(key, img_u8, out_size: int = 224, crop_min: float = 0.08):
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
 def mae_augment(key, img_u8, out_size: int = 224):
-    img = img_u8.astype(jnp.float32) / 255.0
+    img = img_u8.astype(_aug_dtype()) / 255.0
     kc, kf = jax.random.split(key)
     v = random_resized_crop(kc, img, out_size, scale=(0.2, 1.0))
     B = v.shape[0]
     flip = jax.random.uniform(kf, (B, 1, 1, 1)) > 0.5
     v = jnp.where(flip, v[:, :, ::-1], v)
-    return normalize(v)
+    return normalize(v.astype(jnp.float32))

@@ -25,6 +25,14 @@ v3: 49.8 ms vs 53.5 ms for the round-2 kernel over 12 ViT-B layers fwd+bwd):
   (Nb, Nb) score matrix.
 All matmuls run in the input dtype (bf16) with f32 accumulation.
 
+Measured and REJECTED beyond v3 (same harness, 12-layer fwd+bwd chain, B=128):
+- v4 "save-p backward" (fwd writes the normalized softmax matrix so bwd skips
+  the s-recompute, one fewer matmul and no bwd exp): 61.8 ms vs v3's 51.0 —
+  the (B, H, 208, 208) bf16 residual costs more in HBM round-trip + VMEM
+  block pressure than the recompute it saves;
+- G=4 at the 208-row block (v3g44): 51.1 ms — tie; the 34% lower VMEM
+  pressure vs the already-rejected Nb=256 G=4 does not change the outcome.
+
 The reference computes the same math eagerly in torch (`Models/models.py:202-206`).
 """
 
