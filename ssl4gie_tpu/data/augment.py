@@ -26,7 +26,10 @@ IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
 
 
 def normalize(img):
-    return (img - IMAGENET_MEAN) / IMAGENET_STD
+    # dtype-preserving: bf16 pipelines (the on-device TPU aug paths) stay bf16;
+    # f32 callers see bit-identical behavior (astype is a no-op there)
+    return ((img - IMAGENET_MEAN.astype(img.dtype))
+            / IMAGENET_STD.astype(img.dtype))
 
 
 def denormalize(img):
@@ -385,10 +388,14 @@ def fast_random_affine(key, img, target=None, *, degrees=180.0,
     u = jnp.tan(jnp.deg2rad(sh))                            # x-shear factor
     tx, ty = m[:, 2], m[:, 5]                               # translation T
 
-    # stack target + validity as extra channels; all passes warp with fill 0
+    # stack target + validity as extra channels; all passes warp with fill 0.
+    # The target rides in the IMAGE dtype: a concat with an f32 target would
+    # silently promote a bf16 image pipeline back to f32, and the warp is pure
+    # nearest-neighbor selection (one-hot matmuls + rolls), so the bf16
+    # round-trip is exact for 0/1 masks; the original dtype is restored below.
     parts = [img]
     if target is not None:
-        parts.append(target)
+        parts.append(target.astype(img.dtype))
     parts.append(jnp.ones((B, H, W, 1), img.dtype))
     x = jnp.concatenate(parts, axis=-1)
 
@@ -436,7 +443,8 @@ def fast_random_affine(key, img, target=None, *, degrees=180.0,
     out_tgt = None
     if target is not None:
         Ct = target.shape[-1]
-        out_tgt = jnp.where(valid, t3[..., C:C + Ct], target_fill)
+        out_tgt = jnp.where(valid, t3[..., C:C + Ct],
+                            target_fill).astype(target.dtype)
     return out_img, out_tgt
 
 
@@ -543,7 +551,13 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
         img = rotate_nearest_shear(img, angle, fill=0.0)
         return normalize(img.astype(jnp.float32)), target
 
-    img = img_u8.astype(jnp.float32) / 255.0
+    # seg/depth run bf16 on TPU too (same rationale as the classification
+    # branch). Targets keep their own dtype: the flips are pure selections,
+    # and fast_random_affine's one-hot nearest-neighbor warp is exact
+    # selection arithmetic, so a bf16 round-trip through the joint warp is
+    # LOSSLESS for 0/1 masks. The normalized image is handed back as f32.
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    img = img_u8.astype(dt) / 255.0
     img = color_jitter(kj, img)
     img = gaussian_blur(kb, img)
 
@@ -556,7 +570,7 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
             img, target = fast_random_affine(ka, img, target)
         else:
             img, target = random_affine(ka, img, target)
-    return img, target
+    return img.astype(jnp.float32), target
 
 
 @jax.jit
