@@ -10,7 +10,8 @@ each 2*N^2*Dh. The padded-to-256 kernel executes (256/197)^2 = 1.69x that,
 so 'effective TFLOP/s' is useful-work throughput, directly comparable across
 padding strategies.
 
-Usage: python benchmarks/bench_attention_kernel.py [fused|xla|both]
+Usage: python benchmarks/bench_attention_kernel.py
+           [xla|fused|v2|v2g4|v3|v2g44|v3g44|v4|both]   (default: both)
 """
 import os
 import sys

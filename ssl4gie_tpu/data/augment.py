@@ -16,6 +16,7 @@ neighbor like torchvision's tensor-path default (`TF.affine` interpolation=NEARE
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -517,8 +518,24 @@ def mixup_cutmix(key, img, soft_targets, *, mixup_alpha: float = 0.8,
 
 # ---------------------------------------------------------------- pipelines
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation"):
+def exact_affine_enabled() -> bool:
+    """Opt-in exact geometric augmentation (`SSL4GIE_EXACT_AFFINE=1`).
+
+    Default (off): classification rotation runs through the Paeth 3-shear
+    pipeline and the seg affine through the factorized matmul/roll warp — both
+    distribution-equivalent but with per-pass nearest rounding (~30% of pixels
+    resolve to an adjacent source pixel vs the one-pass sampler). With the flag
+    set, both route through the exact one-pass nearest gather (`affine_sample`),
+    bit-matching torchvision's `F.rotate`/`F.affine` nearest semantics
+    (`Binary_segmentation/Data/dataset.py:46-63`,
+    `Classification/Data/dataloaders.py:69`) at a measured step-time cost
+    (see docs/PARITY.md round-5 exact-affine A/B).
+    """
+    return os.environ.get("SSL4GIE_EXACT_AFFINE", "0") == "1"
+
+
+def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation",
+                        exact: bool | None = None):
     """The fused train-time augmentation program. One jitted call per batch.
 
     img_u8: (B, H, W, 3) uint8 (host-decoded+resized). target: optional
@@ -533,7 +550,18 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
       TF.affine) (`Binary_segmentation/Data/dataset.py:46-63`).
     - depth: jitter+blur -> normalize -> joint flips only
       (`Depth_estimation/Data/dataset.py:55-63`).
+
+    exact: route the geometric warp through the exact one-pass gather sampler
+    instead of the shear/factorized fast path; None reads SSL4GIE_EXACT_AFFINE.
     """
+    if exact is None:
+        exact = exact_affine_enabled()
+    return _augment_train_batch(key, img_u8, target, mode=mode, exact=exact)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "exact"))
+def _augment_train_batch(key, img_u8, target=None, *, mode: str,
+                         exact: bool = False):
     kj, kb, kf, ka = jax.random.split(key, 4)
     if mode == "classification":
         # the whole classification aug runs in bf16 on TPU: the model consumes
@@ -547,8 +575,14 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
         img, _ = random_flips(kf, img)
         B = img.shape[0]
         angle = jax.random.uniform(ka, (B,), minval=-180.0, maxval=180.0)
-        # gather-free rotation: rot90 fold + Paeth 3-shear roll/select
-        img = rotate_nearest_shear(img, angle, fill=0.0)
+        if exact:
+            # one-pass nearest gather: torchvision F.rotate bit-semantics
+            m = _inverse_affine_matrix(angle, jnp.zeros((B, 2)),
+                                       jnp.ones((B,)), jnp.zeros((B,)))
+            img = affine_sample(img, m, fill=0.0, mode="nearest")
+        else:
+            # gather-free rotation: rot90 fold + Paeth 3-shear roll/select
+            img = rotate_nearest_shear(img, angle, fill=0.0)
         return normalize(img.astype(jnp.float32)), target
 
     # seg/depth run bf16 on TPU too (same rationale as the classification
@@ -564,7 +598,7 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation")
     img = normalize(img)
     img, target = random_flips(kf, img, target)
     if mode == "segmentation":
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and not exact:
             # matmul/roll factorized warp (fast_random_affine docstring);
             # same parameter distribution, per-pass nearest rounding
             img, target = fast_random_affine(ka, img, target)

@@ -212,3 +212,52 @@ def test_fast_random_affine_non_default_size():
         oi, _ = fast_random_affine(key, img, degrees=0.0, translate_frac=0.0,
                                    scale_range=(1.0, 1.0), shear=0.0)
         np.testing.assert_array_equal(np.asarray(oi), np.asarray(img))
+
+
+def test_exact_affine_flag_routes_to_one_pass_gather(monkeypatch):
+    """SSL4GIE_EXACT_AFFINE=1 (or exact=True) must route the classification
+    rotation and the seg affine through the exact one-pass nearest gather
+    (`affine_sample`), matching torchvision F.rotate/F.affine semantics
+    (`Binary_segmentation/Data/dataset.py:46-63`) — and the env flag must be
+    re-read per call (static jit arg, not baked at import)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl4gie_tpu.data import augment as A
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8))
+
+    # classification: exact=True == manual pipeline with affine_sample rotation
+    key = jax.random.PRNGKey(7)
+    out_exact, _ = A.augment_train_batch(key, img, mode="classification",
+                                         exact=True)
+    kj, kb, kf, ka = jax.random.split(key, 4)
+    x = img.astype(jnp.float32) / 255.0
+    x = A.color_jitter(kj, x)
+    x = A.gaussian_blur(kb, x)
+    x, _ = A.random_flips(kf, x)
+    angle = jax.random.uniform(ka, (2,), minval=-180.0, maxval=180.0)
+    m = A._inverse_affine_matrix(angle, jnp.zeros((2, 2)), jnp.ones((2,)),
+                                 jnp.zeros((2,)))
+    x = A.affine_sample(x, m, fill=0.0, mode="nearest")
+    np.testing.assert_allclose(np.asarray(out_exact),
+                               np.asarray(A.normalize(x)), atol=1e-6)
+
+    # segmentation on CPU: the non-exact branch already falls through to the
+    # gather affine, so exact must change nothing there
+    tgt = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.5).astype(np.float32))
+    oi1, ot1 = A.augment_train_batch(key, img, tgt, mode="segmentation",
+                                     exact=True)
+    oi2, ot2 = A.augment_train_batch(key, img, tgt, mode="segmentation",
+                                     exact=False)
+    np.testing.assert_array_equal(np.asarray(oi1), np.asarray(oi2))
+    np.testing.assert_array_equal(np.asarray(ot1), np.asarray(ot2))
+
+    # env flag resolution happens at call time
+    monkeypatch.setenv("SSL4GIE_EXACT_AFFINE", "1")
+    assert A.exact_affine_enabled()
+    out_env, _ = A.augment_train_batch(key, img, mode="classification")
+    np.testing.assert_array_equal(np.asarray(out_env), np.asarray(out_exact))
+    monkeypatch.setenv("SSL4GIE_EXACT_AFFINE", "0")
+    assert not A.exact_affine_enabled()
