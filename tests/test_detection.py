@@ -237,9 +237,9 @@ def test_map_vectorized_matches_scalar_greedy():
         for ti, thr in enumerate(IOU_THRESHOLDS):
             aps[ti, ci] = scalar_ap(pc, gc, thr)
     with np.errstate(invalid="ignore"):
-        assert got["map"] == pytest.approx(float(np.nanmean(aps)), abs=1e-9)
-        assert got["map_50"] == pytest.approx(float(np.nanmean(aps[0])), abs=1e-9)
-        assert got["map_75"] == pytest.approx(float(np.nanmean(aps[5])), abs=1e-9)
+        assert got["map"] == pytest.approx(float(np.nanmean(aps)), abs=1e-6)
+        assert got["map_50"] == pytest.approx(float(np.nanmean(aps[0])), abs=1e-6)
+        assert got["map_75"] == pytest.approx(float(np.nanmean(aps[5])), abs=1e-6)
 
 
 @pytest.mark.slow
@@ -308,3 +308,87 @@ def test_detection_source_torchvision_resize(tmp_path):
         np.testing.assert_allclose(
             b, [10 * W2 / W, 20 * H2 / H, (W // 2) * W2 / W, (H // 2) * H2 / H],
             rtol=1e-6)
+
+
+def test_map_hand_computed_coco_fixture():
+    """External-oracle mAP parity (round-5 VERDICT item 4).
+
+    torchmetrics/pycocotools cannot be installed in this container, so the
+    expected values below were derived BY HAND from the COCO evaluation
+    protocol (pycocotools COCOeval semantics: greedy best-IoU matching in
+    descending score order, IoU >= t to match, precision envelope, 101-point
+    interpolation with searchsorted side='left') — not from this repo's code.
+    Every IoU in the fixture is an exact decimal chosen to sit away from the
+    0.05-spaced thresholds. Derivation:
+
+    Class 1, GTs: A=[0,0,100,100] (img1), B=[200,200,300,300] (img1),
+    C=[0,0,50,50] (img2), D=[10,10,60,60] (img4, never predicted) -> n_gt=4.
+    Predictions (score order):
+      P5 img3 s=.95 [0,0,10,10]        img3 has no GT        -> FP always
+      P1 img1 s=.90 [0,0,100,92]       IoU(A)=9200/10000=.92 -> TP for t<=.90
+      P4 img2 s=.85 [0,0,50,46]        IoU(C)=2300/2500=.92  -> TP for t<=.90
+      P2 img1 s=.80 [200,200,300,272]  IoU(B)=7200/10000=.72 -> TP for t<=.70
+      P3 img1 s=.70 [40,40,140,140]    IoU(A)=3600/16400=.2195 -> FP always
+    t in {.50...70} (5 thrs): tp seq [0,1,1,1,0], cum P=[0,1/2,2/3,3/4,3/5],
+      R=[0,.25,.50,.75,.75]; envelope = .75 on r<=.75 -> AP = 76*.75/101=57/101.
+    t in {.75...90} (4 thrs): tp seq [0,1,1,0,0], envelope 2/3 on r<=.50
+      -> AP = 51*(2/3)/101 = 34/101.
+    t=.95: no TP -> AP=0.  Class-1 mean = (5*57 + 4*34)/1010 = 421/1010.
+
+    Class 2: one GT [500,500,600,600] (img1) + one exact-match prediction
+    (s=.5) -> AP=1 at every threshold.
+
+    Class 3 (greedy-order check), GTs G1=[0,0,100,100], G2=[0,0,100,120]
+    (img2, overlapping each other):
+      Q1 s=.90 [0,0,100,110]: IoU(G1)=10000/11000=.9091, IoU(G2)=11000/12000
+        =.9167 -> greedy takes G2 (higher IoU) for t<=.90; at t=.95 unmatched.
+      Q2 s=.80 [0,0,100,100]: IoU(G1)=1.0 -> TP (G1 still free) all t.
+    t<=.90 (9 thrs): [TP,TP] -> AP=1. t=.95: [FP,TP] -> P=[0,.5], R=[0,.5],
+      envelope .5 on r<=.5 -> AP=25.5/101. Class-3 mean = (9+25.5/101)/10.
+
+    map    = (421/1010 + 1 + (9 + 25.5/101)/10) / 3
+    map_50 = (57/101 + 1 + 1) / 3
+    map_75 = (34/101 + 1 + 1) / 3
+    (matches the reference's torchmetrics usage,
+    `/root/reference/Object_detection/train_detection.py:18,136-151`)
+    """
+    from ssl4gie_tpu.metrics.detection import MeanAveragePrecision
+
+    m = MeanAveragePrecision()
+    preds = [
+        dict(boxes=np.array([[0, 0, 100, 92], [200, 200, 300, 272],
+                             [40, 40, 140, 140], [500, 500, 600, 600]],
+                            np.float32),
+             scores=np.array([0.90, 0.80, 0.70, 0.50], np.float32),
+             labels=np.array([1, 1, 1, 2])),
+        dict(boxes=np.array([[0, 0, 50, 46], [0, 0, 100, 110],
+                             [0, 0, 100, 100]], np.float32),
+             scores=np.array([0.85, 0.90, 0.80], np.float32),
+             labels=np.array([1, 3, 3])),
+        dict(boxes=np.array([[0, 0, 10, 10]], np.float32),
+             scores=np.array([0.95], np.float32),
+             labels=np.array([1])),
+        dict(boxes=np.zeros((0, 4), np.float32),
+             scores=np.zeros((0,), np.float32),
+             labels=np.zeros((0,), np.int64)),
+    ]
+    targets = [
+        dict(boxes=np.array([[0, 0, 100, 100], [200, 200, 300, 300],
+                             [500, 500, 600, 600]], np.float32),
+             labels=np.array([1, 1, 2])),
+        dict(boxes=np.array([[0, 0, 50, 50], [0, 0, 100, 100],
+                             [0, 0, 100, 120]], np.float32),
+             labels=np.array([1, 3, 3])),
+        dict(boxes=np.zeros((0, 4), np.float32),
+             labels=np.zeros((0,), np.int64)),
+        dict(boxes=np.array([[10, 10, 60, 60]], np.float32),
+             labels=np.array([1])),
+    ]
+    m.update(preds, targets)
+    out = m.compute()
+
+    ap1 = (5 * 57 / 101 + 4 * 34 / 101) / 10
+    ap3 = (9 * 1.0 + 25.5 / 101) / 10
+    assert out["map"] == pytest.approx((ap1 + 1.0 + ap3) / 3, abs=1e-6)
+    assert out["map_50"] == pytest.approx((57 / 101 + 2.0) / 3, abs=1e-6)
+    assert out["map_75"] == pytest.approx((34 / 101 + 2.0) / 3, abs=1e-6)
