@@ -1,0 +1,112 @@
+"""Quantify the detection static-canvas deviation (round-5 VERDICT item 7).
+
+The repo's RN50 detection path always pads images to the static 1344 canvas
+(`tasks/detection.py:38-41` — torchvision resize rule, TOP-LEFT placement),
+while torchvision's `GeneralizedRCNNTransform` pads each batch only to the
+batch max rounded to /32 (`/root/reference/Object_detection/train_detection.py:
+197-204`). The two agree only when a batch contains a max-size image; otherwise
+the static canvas adds extra zero padding that the FPN/RPN see (and, because
+the repo normalizes in-model AFTER padding, the pad pixels sit at -mean/std in
+normalized space instead of torchvision's 0).
+
+This ablation measures the effect on synthetic data at CPU-feasible scale:
+identical image content (objects inside a 128px region, identical seeds and
+init) trained + evaluated on
+
+  tight: canvas 128 (= batch-max /32 semantics)
+  big:   canvas 192 (50% linear over-padding — proportionally MORE padding
+         than the real 1344-vs-~1100 worst case, so an upper bound)
+
+and reports mAP for both. Run: JAX_PLATFORMS=cpu python benchmarks/canvas_ablation.py
+"""
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ssl4gie_tpu.metrics.detection import MeanAveragePrecision
+from ssl4gie_tpu.models.faster_rcnn import FasterRCNN
+from ssl4gie_tpu.tasks.detection import (SyntheticDetectionSource,
+                                         make_detection_train_step)
+
+CONTENT = 128
+STEPS = 60
+B = 4
+N_TRAIN, N_EVAL = 32, 16
+
+
+def batch_at(canvas, samples):
+    """Pad CONTENT-sized samples top-left onto `canvas` (boxes unchanged)."""
+    imgs = np.zeros((len(samples), canvas, canvas, 3), np.uint8)
+    out = {}
+    for i, s in enumerate(samples):
+        imgs[i, :CONTENT, :CONTENT] = s["image"]
+    out["image"] = jnp.asarray(imgs.astype(np.float32) / 255.0)
+    for k in ("gt_boxes", "gt_labels", "gt_valid"):
+        out[k] = jnp.asarray(np.stack([s[k] for s in samples]))
+    return out
+
+
+def run(canvas):
+    model = FasterRCNN(arch="resnet50", image_size=canvas,
+                       rpn_pre_nms_top_n_train=400, rpn_pre_nms_top_n_test=200,
+                       rpn_post_nms_top_n_train=200, rpn_post_nms_top_n_test=100,
+                       box_batch_size_per_image=64, detections_per_img=20)
+    train_src = SyntheticDetectionSource(N_TRAIN, canvas=CONTENT, seed=0)
+    eval_src = SyntheticDetectionSource(N_EVAL, canvas=CONTENT, seed=1)
+
+    b0 = batch_at(canvas, [train_src.get(i) for i in range(B)])
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sampler": jax.random.PRNGKey(0)},
+                           b0["image"], b0["gt_boxes"], b0["gt_labels"],
+                           b0["gt_valid"], train=True)
+    tx = optax.adamw(1e-4)
+    step = jax.jit(make_detection_train_step(
+        model, tx, batch_stats=variables.get("batch_stats", {}),
+        top_level=False))
+    state = (variables["params"], tx.init(variables["params"]))
+
+    t0 = time.time()
+    order = np.random.default_rng(7).permutation
+    for s in range(STEPS):
+        idx = order(N_TRAIN)[:B] if s else np.arange(B)
+        batch = batch_at(canvas, [train_src.get(int(i)) for i in idx])
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + s))
+        if s % 20 == 0:
+            print(f"  canvas={canvas} step {s} loss={float(metrics['loss']):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    apply = jax.jit(lambda p, x: model.apply(
+        {"params": p, "batch_stats": variables.get("batch_stats", {})},
+        x, train=False))
+    m = MeanAveragePrecision()
+    for i0 in range(0, N_EVAL, B):
+        samples = [eval_src.get(i) for i in range(i0, i0 + B)]
+        batch = batch_at(canvas, samples)
+        det = jax.tree_util.tree_map(np.asarray, apply(state[0], batch["image"]))
+        preds, targets = [], []
+        for j, s in enumerate(samples):
+            v = det["valid"][j].astype(bool)
+            preds.append(dict(boxes=det["boxes"][j][v], scores=det["scores"][j][v],
+                              labels=det["labels"][j][v]))
+            gv = s["gt_valid"].astype(bool)
+            targets.append(dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv]))
+        m.update(preds, targets)
+    out = m.compute()
+    print(f"  canvas={canvas}: map={out['map']:.4f} map_50={out['map_50']:.4f} "
+          f"map_75={out['map_75']:.4f}", flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    print("tight canvas (batch-max semantics):", flush=True)
+    tight = run(CONTENT)
+    print("static over-padded canvas (+50% linear):", flush=True)
+    big = run(192)
+    print(f"\ndelta map = {big['map'] - tight['map']:+.4f}, "
+          f"map_50 = {big['map_50'] - tight['map_50']:+.4f}")

@@ -54,6 +54,10 @@ class FasterRCNN(nn.Module):
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
     detections_per_img: int = 100
+    # ViT path FPN LayerNorm: "channel" (shape-agnostic, repo default) or
+    # "chw" (reference-checkpoint-compatible full-(C,H,W) norm — see
+    # models/vitdet_fpn.LayerNormCHW)
+    fpn_ln_mode: str = "channel"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,7 +72,8 @@ class FasterRCNN(nn.Module):
             fmap = ViTBackbone(img_size=self.image_size, mode="det",
                                pos_embed_type=self.pos_embed_type,
                                dtype=self.dtype, name="backbone")(x, train)
-            feats = ViTDetFPN(dtype=self.dtype, name="fpn")(fmap)
+            feats = ViTDetFPN(dtype=self.dtype, ln_mode=self.fpn_ln_mode,
+                              name="fpn")(fmap)
         else:
             # BatchNorm stays frozen even in training — torchvision's
             # fasterrcnn_resnet50_fpn uses FrozenBatchNorm2d, and the reference's
@@ -146,8 +151,10 @@ class FasterRCNN(nn.Module):
 
 def build_detector(architecture, pos_embed_type: str = "learned",
                    img_size: int = 1024, dtype=jnp.float32,
-                   num_classes: int = 2) -> FasterRCNN:
+                   num_classes: int = 2,
+                   fpn_ln_mode: str = "channel") -> FasterRCNN:
     from ssl4gie_tpu.core.config import Architecture
     arch = "vit_b" if architecture == Architecture.VIT_B else "resnet50"
     return FasterRCNN(arch=arch, num_classes=num_classes, image_size=img_size,
-                      pos_embed_type=pos_embed_type, dtype=dtype)
+                      pos_embed_type=pos_embed_type, dtype=dtype,
+                      fpn_ln_mode=fpn_ln_mode)

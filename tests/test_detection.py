@@ -392,3 +392,51 @@ def test_map_hand_computed_coco_fixture():
     assert out["map"] == pytest.approx((ap1 + 1.0 + ap3) / 3, abs=1e-6)
     assert out["map_50"] == pytest.approx((57 / 101 + 2.0) / 3, abs=1e-6)
     assert out["map_75"] == pytest.approx((34 / 101 + 2.0) / 3, abs=1e-6)
+
+
+def test_layernorm_chw_matches_torch():
+    """`LayerNormCHW` ("chw" FPN mode) must reproduce torch
+    `nn.LayerNorm((C, H, W))` — the reference ViTDet_FPN norm
+    (`Models/models.py:219-246`) — including the (C,H,W)->(H,W,C) affine
+    transpose used by the checkpoint converter."""
+    torch = pytest.importorskip("torch")
+    from ssl4gie_tpu.models.vitdet_fpn import LayerNormCHW
+
+    rng = np.random.default_rng(0)
+    C, H, W = 8, 6, 6
+    x = rng.normal(0, 2, (3, H, W, C)).astype(np.float32)
+    w = rng.normal(1, 0.3, (C, H, W)).astype(np.float32)
+    b = rng.normal(0, 0.2, (C, H, W)).astype(np.float32)
+
+    t_ln = torch.nn.LayerNorm((C, H, W))
+    with torch.no_grad():
+        t_ln.weight.copy_(torch.from_numpy(w))
+        t_ln.bias.copy_(torch.from_numpy(b))
+        ref = t_ln(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    mod = LayerNormCHW()
+    params = {"scale": jnp.asarray(w.transpose(1, 2, 0)),
+              "bias": jnp.asarray(b.transpose(1, 2, 0))}
+    out = mod.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=2e-5)
+
+
+def test_vitdet_fpn_chw_mode_shapes_and_params():
+    """chw mode builds (H,W,C) affine params per branch and produces the same
+    pyramid shapes as channel mode."""
+    from ssl4gie_tpu.models.vitdet_fpn import ViTDetFPN
+
+    x = jnp.zeros((1, 8, 8, 32))
+    for mode in ("channel", "chw"):
+        fpn = ViTDetFPN(out_channels=16, ln_mode=mode)
+        variables = fpn.init(jax.random.PRNGKey(0), x)
+        feats = fpn.apply(variables, x)
+        assert [f.shape for f in feats] == [
+            (1, 32, 32, 16), (1, 16, 16, 16), (1, 8, 8, 16), (1, 4, 4, 16),
+            (1, 2, 2, 16)]
+        ln1 = variables["params"]["fpn2"]["ln1"]["scale"]
+        if mode == "chw":
+            assert ln1.shape == (8, 8, 16)
+        else:
+            assert ln1.shape == (16,)
