@@ -35,7 +35,7 @@ from ssl4gie_tpu.tasks.detection import (SyntheticDetectionSource,
                                          make_detection_train_step)
 
 CONTENT = 128
-STEPS = 60
+STEPS = 150
 B = 4
 N_TRAIN, N_EVAL = 32, 16
 
@@ -52,13 +52,39 @@ def batch_at(canvas, samples):
     return out
 
 
-def run(canvas):
-    model = FasterRCNN(arch="resnet50", image_size=canvas,
-                       rpn_pre_nms_top_n_train=400, rpn_pre_nms_top_n_test=200,
-                       rpn_post_nms_top_n_train=200, rpn_post_nms_top_n_test=100,
-                       box_batch_size_per_image=64, detections_per_img=20)
-    train_src = SyntheticDetectionSource(N_TRAIN, canvas=CONTENT, seed=0)
+def make_model(canvas):
+    return FasterRCNN(arch="resnet50", image_size=canvas,
+                      rpn_pre_nms_top_n_train=400, rpn_pre_nms_top_n_test=200,
+                      rpn_post_nms_top_n_train=200,
+                      rpn_post_nms_top_n_test=100,
+                      box_batch_size_per_image=64, detections_per_img=20)
+
+
+def eval_map(model, params, batch_stats, canvas):
+    apply = jax.jit(lambda p, x: model.apply(
+        {"params": p, "batch_stats": batch_stats}, x, train=False))
     eval_src = SyntheticDetectionSource(N_EVAL, canvas=CONTENT, seed=1)
+    m = MeanAveragePrecision()
+    for i0 in range(0, N_EVAL, B):
+        samples = [eval_src.get(i) for i in range(i0, i0 + B)]
+        batch = batch_at(canvas, samples)
+        det = jax.tree_util.tree_map(np.asarray, apply(params, batch["image"]))
+        preds, targets = [], []
+        for j, s in enumerate(samples):
+            v = det["valid"][j].astype(bool)
+            preds.append(dict(boxes=det["boxes"][j][v],
+                              scores=det["scores"][j][v],
+                              labels=det["labels"][j][v]))
+            gv = s["gt_valid"].astype(bool)
+            targets.append(dict(boxes=s["gt_boxes"][gv],
+                                labels=s["gt_labels"][gv]))
+        m.update(preds, targets)
+    return m.compute()
+
+
+def run(canvas):
+    model = make_model(canvas)
+    train_src = SyntheticDetectionSource(N_TRAIN, canvas=CONTENT, seed=0)
 
     b0 = batch_at(canvas, [train_src.get(i) for i in range(B)])
     variables = model.init({"params": jax.random.PRNGKey(0),
@@ -81,32 +107,25 @@ def run(canvas):
             print(f"  canvas={canvas} step {s} loss={float(metrics['loss']):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
-    apply = jax.jit(lambda p, x: model.apply(
-        {"params": p, "batch_stats": variables.get("batch_stats", {})},
-        x, train=False))
-    m = MeanAveragePrecision()
-    for i0 in range(0, N_EVAL, B):
-        samples = [eval_src.get(i) for i in range(i0, i0 + B)]
-        batch = batch_at(canvas, samples)
-        det = jax.tree_util.tree_map(np.asarray, apply(state[0], batch["image"]))
-        preds, targets = [], []
-        for j, s in enumerate(samples):
-            v = det["valid"][j].astype(bool)
-            preds.append(dict(boxes=det["boxes"][j][v], scores=det["scores"][j][v],
-                              labels=det["labels"][j][v]))
-            gv = s["gt_valid"].astype(bool)
-            targets.append(dict(boxes=s["gt_boxes"][gv], labels=s["gt_labels"][gv]))
-        m.update(preds, targets)
-    out = m.compute()
+    out = eval_map(model, state[0], variables.get("batch_stats", {}), canvas)
     print(f"  canvas={canvas}: map={out['map']:.4f} map_50={out['map_50']:.4f} "
           f"map_75={out['map_75']:.4f}", flush=True)
-    return out
+    return out, state[0], variables.get("batch_stats", {})
 
 
 if __name__ == "__main__":
-    print("tight canvas (batch-max semantics):", flush=True)
-    tight = run(CONTENT)
-    print("static over-padded canvas (+50% linear):", flush=True)
-    big = run(192)
-    print(f"\ndelta map = {big['map'] - tight['map']:+.4f}, "
+    print("train+eval on tight canvas (batch-max semantics):", flush=True)
+    tight, params, bstats = run(CONTENT)
+
+    # deterministic isolation of the padding effect: the SAME trained params
+    # evaluated with the content placed on the over-padded canvas (anchors,
+    # FPN and normalize all see the extra zero padding)
+    print("same params evaluated on over-padded canvas:", flush=True)
+    crosseval = eval_map(make_model(192), params, bstats, 192)
+    print(f"  eval-only padding delta: map {crosseval['map'] - tight['map']:+.4f}, "
+          f"map_50 {crosseval['map_50'] - tight['map_50']:+.4f}", flush=True)
+
+    print("train+eval on static over-padded canvas (+50% linear):", flush=True)
+    big, _, _ = run(192)
+    print(f"\ntrain-time delta map = {big['map'] - tight['map']:+.4f}, "
           f"map_50 = {big['map_50'] - tight['map_50']:+.4f}")
