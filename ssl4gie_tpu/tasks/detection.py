@@ -40,6 +40,32 @@ TV_MAX_SIZE = 1333     # (`fasterrcnn_resnet50_fpn`, `train_detection.py:197`)
 TV_CANVAS = 1344       # 1333 rounded up to the FPN's size_divisible=32
 
 
+def _tv_bilinear_resize(im, W2: int, H2: int):
+    """torchvision `GeneralizedRCNNTransform` bilinear resize semantics.
+
+    torchvision resizes the float image with NON-antialiased bilinear
+    (`F.interpolate(mode="bilinear", align_corners=False)`); PIL's BILINEAR
+    antialiases on downscale — measured round 5: upscales agree to <=1/255
+    everywhere, downscales differ by up to ~9% of range on ~20% of pixels
+    (docs/PARITY.md deviation #10). torch is a host-side optional dep here:
+    when importable the exact kernel is used (residual deviation is only the
+    uint8 round-trip, <=0.5/255); otherwise PIL remains the fallback.
+    Returns a PIL Image either way."""
+    try:
+        import torch
+        import torch.nn.functional as torch_F
+    except Exception:
+        from PIL import Image
+        return im.resize((W2, H2), Image.BILINEAR)
+    arr = np.asarray(im, np.float32)
+    t = torch.from_numpy(arr).permute(2, 0, 1)[None]
+    out = torch_F.interpolate(t, size=(H2, W2), mode="bilinear",
+                              align_corners=False)
+    out = out[0].permute(1, 2, 0).round().clamp(0, 255).byte().numpy()
+    from PIL import Image
+    return Image.fromarray(out)
+
+
 class DetectionSource(Source):
     """Host-side detection image prep into one static canvas.
 
@@ -78,10 +104,9 @@ class DetectionSource(Source):
             s = min(TV_MIN_SIZE / min(H, W), TV_MAX_SIZE / max(H, W))
             # floor, matching torchvision's F.interpolate(scale_factor=s,
             # recompute_scale_factor=True) output dims (int(round(.)) differed
-            # by 1px on ~half of inputs). Remaining known deviation: PIL
-            # BILINEAR antialiases, torch bilinear does not (docs/PARITY.md).
+            # by 1px on ~half of inputs).
             W2, H2 = int(W * s), int(H * s)
-            im = im.resize((W2, H2), Image.BILINEAR)
+            im = _tv_bilinear_resize(im, W2, H2)
             boxes[:, [0, 2]] *= W2 / W      # torchvision resize_boxes: per-axis
             boxes[:, [1, 3]] *= H2 / H      # ratios of actual new/old sizes
             scale = np.asarray([W2 / W, H2 / H], np.float32)

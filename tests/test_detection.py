@@ -440,3 +440,34 @@ def test_vitdet_fpn_chw_mode_shapes_and_params():
             assert ln1.shape == (8, 8, 16)
         else:
             assert ln1.shape == (16,)
+
+
+def test_tv_resize_matches_torch_interpolate(tmp_path):
+    """The RN50-path resize must reproduce torchvision's NON-antialiased
+    float bilinear (`GeneralizedRCNNTransform` -> F.interpolate
+    align_corners=False) within the uint8 round-trip, on the downscale case
+    where PIL's antialiasing used to diverge by up to ~9% of range
+    (PARITY deviation #10)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from PIL import Image
+
+    from ssl4gie_tpu.tasks.detection import TV_CANVAS, DetectionSource
+
+    rng = np.random.default_rng(1)
+    W, H = 1920, 1072                      # downscale: s = 1333/1920
+    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    p = tmp_path / "big.png"
+    Image.fromarray(img).save(p)
+    targets = {p.stem: {"bbox": [
+        {"xmin": 1, "ymin": 2, "xmax": 50, "ymax": 60}]}}
+    src = DetectionSource([str(p)], targets, TV_CANVAS, resize="torchvision")
+    out = src.get(0)
+
+    s = 1333 / 1920
+    W2, H2 = int(W * s), int(H * s)
+    t = torch.from_numpy(img.astype(np.float32)).permute(2, 0, 1)[None]
+    ref = F.interpolate(t, size=(H2, W2), mode="bilinear",
+                        align_corners=False)
+    ref = ref[0].permute(1, 2, 0).round().clamp(0, 255).byte().numpy()
+    np.testing.assert_array_equal(out["image"][:H2, :W2], ref)
