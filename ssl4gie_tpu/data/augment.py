@@ -16,6 +16,7 @@ neighbor like torchvision's tensor-path default (`TF.affine` interpolation=NEARE
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 
 import jax
@@ -106,9 +107,18 @@ def _adjust_hue(img, f):
     return _hsv_to_rgb((h + f) % 1.0, s, v)
 
 
-def color_jitter(key, img, brightness=0.4, contrast=0.5, saturation=0.25, hue=0.01):
-    """Per-image factors; op order randomized per batch (torchvision randomizes per
-    image — the batch-level order is a deliberate SPMD-friendly relaxation)."""
+_JITTER_PERMS = np.array(list(itertools.permutations(range(4))), np.int32)
+
+
+def color_jitter(key, img, brightness=0.4, contrast=0.5, saturation=0.25,
+                 hue=0.01, per_image: bool = False):
+    """Per-image factors; op order randomized per batch by default (torchvision
+    randomizes per image — the batch-level order is a deliberate SPMD-friendly
+    relaxation, PARITY deviation #2). per_image=True samples a uniform
+    per-image permutation of the 4 ops exactly like torchvision's ColorJitter:
+    each scan step then evaluates all 4 ops and per-image selects the one at
+    that position (4x the op evaluations — opt in via
+    SSL4GIE_PER_IMAGE_JITTER=1 through `augment_train_batch`)."""
     B = img.shape[0]
     kb, kc, ks, kh, ko = jax.random.split(key, 5)
     shape = (B, 1, 1, 1)
@@ -125,6 +135,22 @@ def color_jitter(key, img, brightness=0.4, contrast=0.5, saturation=0.25, hue=0.
            lambda x: _adjust_contrast(x, fc),
            lambda x: _adjust_saturation(x, fs),
            lambda x: _adjust_hue(x, fh)]
+
+    if per_image:
+        perm_idx = jax.random.randint(ko, (B,), 0, len(_JITTER_PERMS))
+        orders = jnp.asarray(_JITTER_PERMS)[perm_idx]        # (B, 4)
+
+        def apply_step(x, idx_b):
+            outs = [op(x) for op in ops]
+            idxr = idx_b.reshape(B, 1, 1, 1)
+            out = outs[-1]
+            for j in range(len(outs) - 2, -1, -1):
+                out = jnp.where(idxr == j, outs[j], out)
+            return out, None
+
+        img, _ = jax.lax.scan(apply_step, img, orders.T)     # step-major
+        return img
+
     order = jax.random.permutation(ko, 4)
 
     def apply_op(x, idx):
@@ -534,8 +560,16 @@ def exact_affine_enabled() -> bool:
     return os.environ.get("SSL4GIE_EXACT_AFFINE", "0") == "1"
 
 
+def per_image_jitter_enabled() -> bool:
+    """Opt-in per-image ColorJitter op order (`SSL4GIE_PER_IMAGE_JITTER=1`),
+    matching torchvision's per-__call__ permutation exactly (PARITY deviation
+    #2) at ~4x the jitter op evaluations."""
+    return os.environ.get("SSL4GIE_PER_IMAGE_JITTER", "0") == "1"
+
+
 def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation",
-                        exact: bool | None = None):
+                        exact: bool | None = None,
+                        per_image_jitter: bool | None = None):
     """The fused train-time augmentation program. One jitted call per batch.
 
     img_u8: (B, H, W, 3) uint8 (host-decoded+resized). target: optional
@@ -556,12 +590,16 @@ def augment_train_batch(key, img_u8, target=None, *, mode: str = "segmentation",
     """
     if exact is None:
         exact = exact_affine_enabled()
-    return _augment_train_batch(key, img_u8, target, mode=mode, exact=exact)
+    if per_image_jitter is None:
+        per_image_jitter = per_image_jitter_enabled()
+    return _augment_train_batch(key, img_u8, target, mode=mode, exact=exact,
+                                per_image_jitter=per_image_jitter)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "exact"))
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "exact", "per_image_jitter"))
 def _augment_train_batch(key, img_u8, target=None, *, mode: str,
-                         exact: bool = False):
+                         exact: bool = False, per_image_jitter: bool = False):
     kj, kb, kf, ka = jax.random.split(key, 4)
     if mode == "classification":
         # the whole classification aug runs in bf16 on TPU: the model consumes
@@ -570,7 +608,7 @@ def _augment_train_batch(key, img_u8, target=None, *, mode: str,
         # untouched (labels). Halves the aug's HBM traffic.
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         img = img_u8.astype(dt) / 255.0
-        img = color_jitter(kj, img)
+        img = color_jitter(kj, img, per_image=per_image_jitter)
         img = gaussian_blur(kb, img)
         img, _ = random_flips(kf, img)
         B = img.shape[0]
@@ -592,7 +630,7 @@ def _augment_train_batch(key, img_u8, target=None, *, mode: str,
     # LOSSLESS for 0/1 masks. The normalized image is handed back as f32.
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     img = img_u8.astype(dt) / 255.0
-    img = color_jitter(kj, img)
+    img = color_jitter(kj, img, per_image=per_image_jitter)
     img = gaussian_blur(kb, img)
 
     img = normalize(img)

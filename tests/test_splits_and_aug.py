@@ -261,3 +261,45 @@ def test_exact_affine_flag_routes_to_one_pass_gather(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_env), np.asarray(out_exact))
     monkeypatch.setenv("SSL4GIE_EXACT_AFFINE", "0")
     assert not A.exact_affine_enabled()
+
+
+def test_per_image_jitter_order_parity():
+    """per_image=True color_jitter must equal applying each image's own
+    4-op sequence (torchvision ColorJitter per-__call__ order semantics,
+    PARITY deviation #2) — verified by replaying the sampled per-image
+    permutations sequentially on single-image batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssl4gie_tpu.data import augment as A
+
+    rng = np.random.default_rng(5)
+    B = 6
+    img = jnp.asarray(rng.random((B, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    out = A.color_jitter(key, img, per_image=True)
+
+    # replay: same factor sampling, then apply ops in each image's own order
+    kb, kc, ks, kh, ko = jax.random.split(key, 5)
+    fb = jax.random.uniform(kb, (B, 1, 1, 1), minval=0.6, maxval=1.4)
+    fc = jax.random.uniform(kc, (B, 1, 1, 1), minval=0.5, maxval=1.5)
+    fs = jax.random.uniform(ks, (B, 1, 1, 1), minval=0.75, maxval=1.25)
+    fh = jax.random.uniform(kh, (B, 1, 1), minval=-0.01, maxval=0.01)
+    perm_idx = np.asarray(jax.random.randint(ko, (B,), 0,
+                                             len(A._JITTER_PERMS)))
+    assert len(set(perm_idx.tolist())) > 1   # orders actually differ
+
+    ops = [lambda x, i: A._adjust_brightness(x, fb[i:i + 1]),
+           lambda x, i: A._adjust_contrast(x, fc[i:i + 1]),
+           lambda x, i: A._adjust_saturation(x, fs[i:i + 1]),
+           lambda x, i: A._adjust_hue(x, fh[i:i + 1])]
+    for i in range(B):
+        x = img[i:i + 1]
+        for op_id in A._JITTER_PERMS[perm_idx[i]]:
+            x = ops[int(op_id)](x, i)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(x[0]),
+                                   atol=1e-6)
+
+    # batch-order default unchanged and env flag resolves at call time
+    out_b = A.color_jitter(key, img, per_image=False)
+    assert out_b.shape == img.shape
