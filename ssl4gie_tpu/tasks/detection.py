@@ -130,6 +130,7 @@ class DetectionSource(Source):
         canvas[p2:p2 + H, p1:p1 + W] = np.asarray(im, np.uint8)
         boxes[:, [0, 2]] += p1
         boxes[:, [1, 3]] += p2
+        content_size = np.asarray([W, H], np.int32)   # pre-pad extent (W2, H2)
 
         n = min(len(boxes), MAX_GT)
         gt_boxes = np.zeros((MAX_GT, 4), np.float32)
@@ -140,11 +141,29 @@ class DetectionSource(Source):
         gt_valid[:n] = True
         out = {"image": canvas, "gt_boxes": gt_boxes, "gt_labels": gt_labels,
                "gt_valid": gt_valid}
+        if self.resize == "torchvision":
+            # torchvision clips detections to each image's pre-pad size
+            # (RoIHeads.postprocess_detections image_shapes); evaluate_map
+            # applies this host-side when the key is present. The ViT path
+            # (resize="fixed") matches the reference's fixed_size=(1024,1024)
+            # where torchvision itself clips at the full canvas — no key.
+            out["content_size"] = content_size
         if self.keep_original:
             out["pad"] = np.asarray([p1, p2], np.int32)
             out["scale"] = scale                     # per-axis (sx, sy)
             out["original"] = original
         return out
+
+
+def clip_to_content(boxes: np.ndarray, content_size) -> np.ndarray:
+    """torchvision RoIHeads clips detections to each image's pre-pad size
+    (`postprocess_detections` image_shapes); apply the same per-image clip
+    host-side for the RN50 path. boxes (N, 4) xyxy; content_size (W, H)."""
+    cw, ch = float(content_size[0]), float(content_size[1])
+    boxes = np.asarray(boxes, np.float32)
+    return np.stack([np.clip(boxes[:, 0], 0, cw), np.clip(boxes[:, 1], 0, ch),
+                     np.clip(boxes[:, 2], 0, cw), np.clip(boxes[:, 3], 0, ch)],
+                    axis=1)
 
 
 def boxes_to_original(boxes: np.ndarray, pad: np.ndarray,
@@ -318,7 +337,10 @@ def evaluate_map(model, params, source, batch_size: int = 2,
         preds, targets = [], []
         for bi, s in enumerate(samples[:real]):
             ok = det["valid"][bi]
-            preds.append({"boxes": det["boxes"][bi][ok],
+            pb = det["boxes"][bi][ok]
+            if "content_size" in s:
+                pb = clip_to_content(pb, s["content_size"])
+            preds.append({"boxes": pb,
                           "scores": det["scores"][bi][ok],
                           "labels": det["labels"][bi][ok]})
             gv = s["gt_valid"]

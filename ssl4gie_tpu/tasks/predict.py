@@ -115,7 +115,7 @@ def predict_detection(cfg, model, params, batch_stats, test_source, out_dir,
     `predict_detection.py:29-76,115`. Sources without originals (synthetic)
     draw on the model-input canvas."""
     from PIL import Image
-    from ssl4gie_tpu.tasks.detection import (boxes_to_original,
+    from ssl4gie_tpu.tasks.detection import (boxes_to_original, clip_to_content,
                                              make_detection_eval_step)
     eval_step = make_detection_eval_step(model, batch_stats)
     os.makedirs(out_dir, exist_ok=True)
@@ -130,6 +130,9 @@ def predict_detection(cfg, model, params, batch_stats, test_source, out_dir,
         keep = det["valid"] & (det["scores"] > score_thresh)
         gt = s["gt_boxes"][s["gt_valid"]]
         pred = det["boxes"][keep]
+        if "content_size" in s:
+            # torchvision per-image clip to the pre-pad extent (RN50 path)
+            pred = clip_to_content(pred, s["content_size"])
         if "original" in s:
             canvas = s["original"].copy()
             gt = boxes_to_original(gt, s["pad"], s["scale"])

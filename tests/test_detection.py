@@ -471,3 +471,37 @@ def test_tv_resize_matches_torch_interpolate(tmp_path):
                         align_corners=False)
     ref = ref[0].permute(1, 2, 0).round().clamp(0, 255).byte().numpy()
     np.testing.assert_array_equal(out["image"][:H2, :W2], ref)
+
+
+def test_content_size_and_clip_to_content(tmp_path):
+    """RN50-path samples carry the pre-pad extent, and predictions are clipped
+    to it like torchvision RoIHeads' per-image clip (round-5 padding-ablation
+    follow-up: unclipped boxes over the static canvas's extra padding measured
+    a +0.058 map_50 distortion on synthetic data)."""
+    from PIL import Image
+
+    from ssl4gie_tpu.tasks.detection import (TV_CANVAS, DetectionSource,
+                                             clip_to_content)
+
+    rng = np.random.default_rng(2)
+    W, H = 600, 400
+    p = tmp_path / "img.png"
+    Image.fromarray(rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(p)
+    targets = {p.stem: {"bbox": [
+        {"xmin": 10, "ymin": 20, "xmax": 200, "ymax": 300}]}}
+    src = DetectionSource([str(p)], targets, TV_CANVAS, resize="torchvision")
+    out = src.get(0)
+    np.testing.assert_array_equal(out["content_size"], [1200, 800])  # s=2.0
+
+    # fixed (ViT) mode must NOT carry the key: the reference's torchvision
+    # transform there uses fixed_size and clips at the full canvas
+    src_fixed = DetectionSource([str(p)], targets, 1024, resize="fixed")
+    assert "content_size" not in src_fixed.get(0)
+
+    boxes = np.array([[-1.0, 5.0, 1300.0, 900.0],
+                      [10.0, 10.0, 100.0, 100.0]], np.float32)
+    clipped = clip_to_content(boxes, out["content_size"])
+    np.testing.assert_array_equal(
+        clipped, [[0.0, 5.0, 1200.0, 800.0], [10.0, 10.0, 100.0, 100.0]])
+    assert clip_to_content(np.zeros((0, 4), np.float32),
+                           out["content_size"]).shape == (0, 4)
