@@ -72,7 +72,12 @@ def eval_map(model, params, batch_stats, canvas):
         preds, targets = [], []
         for j, s in enumerate(samples):
             v = det["valid"][j].astype(bool)
-            preds.append(dict(boxes=det["boxes"][j][v],
+            # torchvision per-image clip to the pre-pad content extent
+            # (round-5 `clip_to_content`); without it the over-padded canvas
+            # measured a spurious +0.058 map_50 from unclipped boxes
+            from ssl4gie_tpu.tasks.detection import clip_to_content
+            preds.append(dict(boxes=clip_to_content(det["boxes"][j][v],
+                                                    (CONTENT, CONTENT)),
                               scores=det["scores"][j][v],
                               labels=det["labels"][j][v]))
             gv = s["gt_valid"].astype(bool)
