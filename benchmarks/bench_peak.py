@@ -19,6 +19,19 @@ one jit so the axon relay's dispatch latency cancels; timed by fetching a
 scalar value after the dependency chain (block_until_ready is not a reliable
 barrier through this relay). Nominal v5e bf16 peak: 197 TFLOP/s.
 
+MEASURED (round 5). Wall-clock through the relay, then device-event truth
+from `profile_peak.py` (wall includes ~27 ms relay dispatch per call, so
+short programs read low — trust device events):
+
+    square 8192^3  : 8.26 ms wall -> 6.47 ms GEMM device  = 170 TFLOP/s
+    mlp M=37824    : 3.24 ms wall -> 1.86 ms device       = 191.4 TFLOP/s (97%)
+    dw             : 3.33 ms wall (107 TFLOP/s, wall-bound)
+    attn 197x64    : 1.88 ms wall (12.2 TFLOP/s — shape-starved XLA batched
+                     matmul; the production Pallas kernels reach 61 in-model)
+
+Conclusion recorded in docs/PARITY.md: empirical peak ~= nominal (97% on
+the model's own MLP shapes); all "% of 197" claims are correctly normalized.
+
 Usage: python benchmarks/bench_peak.py [square|mlp|dw|attn|all]
 """
 import sys
