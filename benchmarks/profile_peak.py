@@ -79,9 +79,57 @@ def run_mlp():
     return lambda: float(run(x, w1, w2)[-1]), 2 * M * C * H * 2
 
 
+def run_dw():
+    M, C, H = 192 * 197, 768, 3072
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1 / np.sqrt(M), (M, C)).astype(np.float32), DT)
+    g = jnp.asarray(rng.normal(0, 1, (M, H)).astype(np.float32), DT)
+
+    @jax.jit
+    def run(x, g):
+        def body(g, _):
+            dw = jax.lax.dot_general(
+                x, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(DT)
+            g2 = jax.lax.dot(x, dw, preferred_element_type=jnp.float32)
+            return (g2 * (1.0 / np.sqrt(C))).astype(DT), jnp.sum(g2[0, :8])
+        _, vs = jax.lax.scan(body, g, None, length=STEPS)
+        return vs
+
+    float(run(x, g)[-1])
+    return lambda: float(run(x, g)[-1]), 2 * M * C * H * 2
+
+
+def run_attn():
+    B, Hh, N, D = 192, 12, 197, 64
+    G = B * Hh
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (G, N, D)).astype(np.float32), DT)
+    k = jnp.asarray(rng.normal(0, 1 / np.sqrt(D), (G, N, D)).astype(np.float32), DT)
+
+    @jax.jit
+    def run(q, k):
+        def body(q, _):
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ).astype(DT)
+            o = jax.lax.dot_general(
+                s, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+            return (o * (1.0 / np.sqrt(N))).astype(DT), jnp.sum(o[0, 0, :8])
+        _, vs = jax.lax.scan(body, q, None, length=STEPS)
+        return vs
+
+    float(run(q, k)[-1])
+    return lambda: float(run(q, k)[-1]), 2 * G * N * N * D * 2
+
+
+RUNNERS = {"square": run_square, "mlp": run_mlp, "dw": run_dw, "attn": run_attn}
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "square"
-    fn, flops_per_step = run_square() if which == "square" else run_mlp()
+    fn, flops_per_step = RUNNERS[which]()
     trace_dir = f"/tmp/peak_trace_{which}"
     with jax.profiler.trace(trace_dir):
         fn()
