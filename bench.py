@@ -161,9 +161,12 @@ def main(with_loader: bool = False):
     print(json.dumps(result))
 
 
-def _detection_throughput(B: int = 8, n: int = 5) -> float:
+def _detection_throughput(B: int = 4, n: int = 5) -> float:
     """ViT-Det 1024px train-step throughput (img/s), scan-in-one-jit, batch
-    passed as a jit argument (NOT a scan closure constant — see CLAUDE.md)."""
+    passed as a jit argument (NOT a scan closure constant — see CLAUDE.md).
+    B=4 is the measured single-chip HBM ceiling for the unremat'd 1024px
+    step (B>=6 ResourceExhausted, round-5 sweep) and also its throughput
+    optimum (12.6 img/s vs 11.5 at B=2)."""
     from ssl4gie_tpu.core.train_state import make_adamw
     from ssl4gie_tpu.core.xla_options import jit_kwargs
     from ssl4gie_tpu.models.faster_rcnn import FasterRCNN

@@ -24,7 +24,7 @@ from ssl4gie_tpu.core.xla_options import jit_kwargs
 
 
 def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
-          n: int = 10):
+          n: int = 10, eval_only: bool = False):
     S = 1024 if arch == "vit_b" else 1344
     model = FasterRCNN(arch=arch, num_classes=2, image_size=S,
                        pos_embed_type="learned", dtype=jnp.bfloat16)
@@ -44,22 +44,23 @@ def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
     rng_np = np.random.default_rng(0)
     batch = {"image": jnp.asarray(rng_np.random((B, S, S, 3), np.float32)),
              "gt_boxes": gtb, "gt_labels": gtl, "gt_valid": gtv}
+    dt = float("nan")
+    if not eval_only:
+        @functools.partial(jax.jit, **jit_kwargs("detection"))
+        def run(state, batch, key):
+            def body(st, k):
+                st, m = step(st, batch, k)
+                return st, m["loss"]
+            return jax.lax.scan(body, state, jax.random.split(key, n))
 
-    @functools.partial(jax.jit, **jit_kwargs("detection"))
-    def run(state, batch, key):
-        def body(st, k):
-            st, m = step(st, batch, k)
-            return st, m["loss"]
-        return jax.lax.scan(body, state, jax.random.split(key, n))
-
-    _, losses = run(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    _, losses = run(state, batch, jax.random.PRNGKey(2))
-    float(losses[-1])
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{arch} {S}px train step: {dt:.1f} ms/step @ B={B} accum={accum} "
-          f"({B / dt * 1000:.1f} img/s)", flush=True)
+        _, losses = run(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        _, losses = run(state, batch, jax.random.PRNGKey(2))
+        float(losses[-1])
+        dt = (time.perf_counter() - t0) / n * 1000
+        print(f"{arch} {S}px train step: {dt:.1f} ms/step @ B={B} accum={accum} "
+              f"({B / dt * 1000:.1f} img/s)", flush=True)
 
     if do_eval:
         # per-epoch eval cost: the trainer runs val AND test mAP every epoch
@@ -69,20 +70,29 @@ def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
 
         @functools.partial(jax.jit, **jit_kwargs("detection"))
         def erun(params, x):
-            def body(_, i):
+            def body(carry, i):
+                # x must depend on the loop index, else XLA hoists the whole
+                # (loop-invariant) model out of the scan and the bench times
+                # ONE apply + relay overhead spread over n "steps" — this
+                # exact artifact produced the retracted 223.6 ms round-5
+                # eval figure (real device cost ~72 ms, profile_detection.py)
+                xi = x + (1e-12 * i.astype(x.dtype) + carry * 0.0)
                 det = model.apply(
                     {"params": params,
                      "batch_stats": variables.get("batch_stats", {})},
-                    x, train=False)
-                return None, det["scores"][:, 0]
-            return jax.lax.scan(body, None, jnp.arange(n))
+                    xi, train=False)
+                s = det["scores"][:, 0]
+                return jnp.sum(s) * 1e-20, s
+            return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
 
         _, s0 = erun(state[0], ebatch)
         jax.block_until_ready(s0)
-        t0 = time.perf_counter()
-        _, s0 = erun(state[0], ebatch)
-        float(s0[-1, 0])
-        edt = (time.perf_counter() - t0) / n * 1000
+        edt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, s0 = erun(state[0], ebatch)
+            float(s0[-1, 0])
+            edt = min(edt, (time.perf_counter() - t0) / n * 1000)
         print(f"{arch} {S}px eval step:  {edt:.1f} ms/step @ B={eB} "
               f"({eB / edt * 1000:.1f} img/s)", flush=True)
     return dt
@@ -98,7 +108,9 @@ if __name__ == "__main__":
         accum = int(args[i + 1])
         del args[i:i + 2]
     do_eval = "--eval" in args
-    args = [a for a in args if a != "--eval"]
+    eval_only = "--eval-only" in args
+    args = [a for a in args if a not in ("--eval", "--eval-only")]
     bs = [int(a) for a in args] or [2, 4, 8]
     for B in bs:
-        bench(arch, B, accum, do_eval and B == bs[-1])
+        bench(arch, B, accum, (do_eval or eval_only) and B == bs[-1],
+              eval_only=eval_only)
