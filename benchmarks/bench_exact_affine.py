@@ -41,11 +41,14 @@ def bench(mode: str, B: int, exact: bool, reps: int = 3):
             k, ka = jax.random.split(k)
             if target is None:
                 out = _augment_train_batch(ka, img, mode=mode, exact=exact)
+                if isinstance(out, tuple):
+                    out = out[0]
                 v = jnp.sum(out[0, 0, :4].astype(jnp.float32))
             else:
                 oi, ot = _augment_train_batch(ka, img, target, mode=mode,
                                               exact=exact)
-                v = jnp.sum(oi[0, 0, :4].astype(jnp.float32)) + ot[0, 0, 0]
+                v = (jnp.sum(oi[0, 0, :4].astype(jnp.float32))
+                     + jnp.sum(ot[0, 0, 0].astype(jnp.float32)))
             return k, v
         _, vs = jax.lax.scan(body, key, None, length=STEPS)
         return vs
@@ -63,11 +66,15 @@ def bench(mode: str, B: int, exact: bool, reps: int = 3):
 
 
 def main():
+    import sys
+    modes = [("classification", 192), ("segmentation", 48)]
+    if len(sys.argv) > 1:
+        modes = [m for m in modes if m[0] == sys.argv[1]]
     res = {}
-    for mode, B in (("classification", 192), ("segmentation", 48)):
+    for mode, B in modes:
         for exact in (False, True):
             res[(mode, exact)] = bench(mode, B, exact)
-    for mode, B in (("classification", 192), ("segmentation", 48)):
+    for mode, B in modes:
         f, e = res[(mode, False)], res[(mode, True)]
         print(f"{mode}: fast {f:.2f} -> exact {e:.2f} ms/batch "
               f"(+{e - f:.2f} ms, x{e / f:.2f})")
