@@ -25,7 +25,8 @@ short programs read low — trust device events):
 
     square 8192^3  : 8.26 ms wall -> 6.47 ms GEMM device  = 170 TFLOP/s
     mlp M=37824    : 3.24 ms wall -> 1.86 ms device       = 191.4 TFLOP/s (97%)
-    dw             : 3.33 ms wall (107 TFLOP/s, wall-bound)
+    dw             : 3.33 ms wall -> 2.04 ms device       = 175 TFLOP/s
+                     (the K-large dW GEMM itself 164 = 83% of nominal)
     attn 197x64    : 1.88 ms wall (12.2 TFLOP/s — shape-starved XLA batched
                      matmul; the production Pallas kernels reach 61 in-model)
 
