@@ -149,10 +149,28 @@ def main(with_loader: bool = False):
         raise _DetTimeout
 
     old = signal.signal(signal.SIGALRM, _fire)
-    signal.alarm(900)
+    signal.alarm(1200)
     try:
+        # Free the headline program's HBM buffers, then run the detection leg
+        # in a FRESH process: ViT-Det B=4 needs nearly the whole chip, and
+        # with the classification state resident it ResourceExhausts; even
+        # after in-process dels the relay context stays memory-pressured
+        # (measured 0.43 img/s vs 12.6 standalone — spill thrashing). A clean
+        # process reproduces the standalone number.
+        import gc
+        import os
+        import subprocess
+        del state, state2, losses, img_u8, labels, variables, x0
+        jax.clear_caches()
+        gc.collect()
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import bench; print('DET', bench._detection_throughput())"],
+            capture_output=True, text=True, timeout=1150,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.splitlines() if l.startswith("DET ")][-1]
         result["detection_vitdet_1024_images_per_sec_per_chip"] = round(
-            _detection_throughput() / n_chips, 2)
+            float(line.split()[1]) / n_chips, 2)
     except BaseException:
         pass
     finally:
