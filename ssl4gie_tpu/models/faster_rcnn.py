@@ -31,8 +31,8 @@ from ssl4gie_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from ssl4gie_tpu.models.roi_heads import (BoxHead, assign_proposals,
                                           extract_roi_features,
                                           postprocess_detections, roi_head_loss)
-from ssl4gie_tpu.models.rpn import (RPNHead, generate_anchors, rpn_loss,
-                                    select_proposals)
+from ssl4gie_tpu.models.rpn import (RPNHead, anchor_grid_info, generate_anchors,
+                                    rpn_loss, select_proposals)
 from ssl4gie_tpu.models.vit import ViTBackbone
 from ssl4gie_tpu.models.vitdet_fpn import ResNetFPN, ViTDetFPN
 
@@ -62,9 +62,25 @@ class FasterRCNN(nn.Module):
 
     @nn.compact
     def __call__(self, images, gt_boxes=None, gt_labels=None, gt_valid=None,
-                 train: bool = False):
+                 train: bool = False, content_sizes=None):
         """images: (B, S, S, 3) float in [0,1] (pre-padded square).
-        Train: returns loss dict. Eval: returns detections dict of (B, D, ...)."""
+        Train: returns loss dict. Eval: returns detections dict of (B, D, ...).
+
+        content_sizes: optional (B, 2) int (w, h) per-image pre-pad extents,
+        top-left placed (the RN50/`resize="torchvision"` prep). When given
+        (eval only), the static canvas reproduces torchvision's dynamic
+        batch-max padding EXACTLY: (a) anchors outside the batch-max /32
+        extent are masked out of RPN top-k (they do not exist on
+        torchvision's per-batch canvas), (b) proposals and detections are
+        clipped per image to (w_i, h_i) like `filter_proposals` /
+        `RoIHeads.postprocess_detections`. Backbone activations inside the
+        batch extent are unaffected by the extra zero padding (zero content
+        beyond the extent == torchvision's zero pad; BN is frozen), so with
+        these two fixes the eval outputs match a dynamic-padding run.
+        Train mode ignores it: `detection_augment` rot90/flips move the
+        content region around the canvas, and the ablation
+        (`benchmarks/canvas_ablation.py`) measured train-time padding
+        effects below seed noise."""
         x = (images - IMAGENET_MEAN) / IMAGENET_STD
         x = x.astype(self.dtype)
 
@@ -93,13 +109,30 @@ class FasterRCNN(nn.Module):
         post_n = (self.rpn_post_nms_top_n_train if train
                   else self.rpn_post_nms_top_n_test)
 
+        anchor_valid = None
+        if content_sizes is not None and not train:
+            grid = jnp.asarray(anchor_grid_info(shapes, STRIDES))  # (N, 3)
+            # torchvision ImageList.batch_images pads to the batch max rounded
+            # up to size_divisible=32
+            wm = ((jnp.max(content_sizes[:, 0]) + 31) // 32) * 32
+            hm = ((jnp.max(content_sizes[:, 1]) + 31) // 32) * 32
+            gx, gy, st = grid[:, 0], grid[:, 1], grid[:, 2]
+            anchor_valid = (gx < (wm + st - 1) // st) & \
+                           (gy < (hm + st - 1) // st)
+
         prop_fn = functools.partial(
             select_proposals, anchors=anchors, level_ids=None,
             level_slices=level_slices, image_size=self.image_size,
             pre_nms_top_n=pre_n, post_nms_top_n=post_n,
             nms_thresh=self.rpn_nms_thresh)
-        proposals, prop_valid = jax.vmap(
-            lambda o, d: prop_fn(o, d))(objectness, deltas)
+        if anchor_valid is None:
+            proposals, prop_valid = jax.vmap(
+                lambda o, d: prop_fn(o, d))(objectness, deltas)
+        else:
+            proposals, prop_valid = jax.vmap(
+                lambda o, d, wh: prop_fn(o, d, anchor_valid=anchor_valid,
+                                         content_wh=wh)
+            )(objectness, deltas, content_sizes)
         proposals = jax.lax.stop_gradient(proposals)
 
         box_head = BoxHead(num_classes=self.num_classes, dtype=self.dtype,
@@ -141,11 +174,17 @@ class FasterRCNN(nn.Module):
         scores, box_deltas = box_head(roi_feats.reshape(B * R, 7, 7, -1))
         scores = scores.reshape(B, R, -1)
         box_deltas = box_deltas.reshape(B, R, self.num_classes, 4)
-        det = jax.vmap(functools.partial(
+        post_fn = functools.partial(
             postprocess_detections, image_size=self.image_size,
             score_thresh=self.box_score_thresh, nms_thresh=self.box_nms_thresh,
             detections_per_img=self.detections_per_img)
-        )(scores, box_deltas, proposals, prop_valid)
+        if content_sizes is None:
+            det = jax.vmap(post_fn)(scores, box_deltas, proposals, prop_valid)
+        else:
+            det = jax.vmap(lambda s, d, p, v, wh: post_fn(s, d, p, v,
+                                                          content_wh=wh)
+                           )(scores, box_deltas, proposals, prop_valid,
+                             content_sizes)
         return det
 
 

@@ -96,14 +96,23 @@ def roi_head_loss(scores, deltas, labels, reg_targets, pos_mask, valid):
 
 def postprocess_detections(scores, deltas, proposals, prop_valid,
                            image_size: int, score_thresh: float = 0.05,
-                           nms_thresh: float = 0.5, detections_per_img: int = 100):
+                           nms_thresh: float = 0.5, detections_per_img: int = 100,
+                           content_wh=None):
     """Per image. scores (R, K) logits; deltas (R, K, 4); proposals (R, 4).
-    Returns dict(boxes (D,4), scores (D,), labels (D,), valid (D,))."""
+    Returns dict(boxes (D,4), scores (D,), labels (D,), valid (D,)).
+
+    content_wh: optional (2,) (w, h) per-image pre-pad extent — torchvision
+    RoIHeads clips detections to `image_shapes` BEFORE the per-class NMS
+    (clipping changes IoUs and therefore NMS outcomes, so in-model clipping
+    here is strictly more faithful than the host-side post-NMS clip)."""
     K = scores.shape[1]
     probs = jax.nn.softmax(scores, axis=-1)
     boxes_k = decode_boxes(deltas, proposals[:, None, :].repeat(K, 1),
                            BOX_REG_WEIGHTS)
-    boxes_k = clip_boxes(boxes_k, image_size, image_size)
+    if content_wh is None:
+        boxes_k = clip_boxes(boxes_k, image_size, image_size)
+    else:
+        boxes_k = clip_boxes(boxes_k, content_wh[1], content_wh[0])
     # drop background column
     probs = probs[:, 1:]
     boxes_k = boxes_k[:, 1:]

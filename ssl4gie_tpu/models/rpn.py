@@ -27,6 +27,28 @@ ASPECT_RATIOS = (0.5, 1.0, 2.0)
 NUM_ANCHORS = len(ASPECT_RATIOS)
 
 
+def anchor_grid_info(feature_shapes: Sequence[Tuple[int, int]],
+                     strides: Sequence[int]) -> np.ndarray:
+    """Static per-anchor (gx, gy, stride) int32 array aligned with
+    `generate_anchors`' flattening order (level-major, row-major, A-fast).
+
+    Used to emulate torchvision's dynamic batch-max padding on the static
+    canvas: an anchor of `generate_anchors(batch_canvas)` exists in
+    torchvision's anchor set for a batch padded to (Hm, Wm) iff
+    gx < ceil(Wm/stride) and gy < ceil(Hm/stride) — masking by that
+    predicate reproduces the smaller canvas's anchor set exactly
+    (`tests/test_detection.py::test_anchor_grid_info_matches_small_canvas`).
+    """
+    rows = []
+    for (h, w), stride in zip(feature_shapes, strides):
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+        g = np.stack([gx.ravel(), gy.ravel()], axis=1)      # (H*W, 2)
+        g = np.repeat(g, NUM_ANCHORS, axis=0)               # (H*W*A, 2)
+        s = np.full((g.shape[0], 1), stride)
+        rows.append(np.concatenate([g, s], axis=1))
+    return np.concatenate(rows, axis=0).astype(np.int32)
+
+
 def generate_anchors(feature_shapes: Sequence[Tuple[int, int]],
                      strides: Sequence[int]) -> np.ndarray:
     """Static anchor lattice: list over levels of (H*W*A, 4), concatenated.
@@ -151,9 +173,18 @@ def optax_sigmoid_bce(logits, targets):
 
 def select_proposals(objectness, deltas, anchors, level_ids, level_slices,
                      image_size: int, pre_nms_top_n: int, post_nms_top_n: int,
-                     nms_thresh: float = 0.7, min_size: float = 1e-3):
+                     nms_thresh: float = 0.7, min_size: float = 1e-3,
+                     anchor_valid=None, content_wh=None):
     """Per image: per-level top-k -> decode -> clip -> level-aware NMS -> fixed
-    post_nms_top_n proposals (+validity). level_slices: python list of (start, end)."""
+    post_nms_top_n proposals (+validity). level_slices: python list of (start, end).
+
+    anchor_valid: optional (N,) bool — anchors outside the batch-max content
+    extent (torchvision pads to the per-batch max, so those anchors do not
+    exist there); masked to -inf objectness so they can never enter top-k.
+    content_wh: optional (2,) (w, h) — torchvision `filter_proposals` clips
+    proposals to each image's own (pre-pad) size, not the canvas."""
+    if anchor_valid is not None:
+        objectness = jnp.where(anchor_valid, objectness, -jnp.inf)
     sel_scores, sel_boxes, sel_levels = [], [], []
     for li, (s, e) in enumerate(level_slices):
         k = min(pre_nms_top_n, e - s)
@@ -165,9 +196,13 @@ def select_proposals(objectness, deltas, anchors, level_ids, level_slices,
         sel_boxes.append(b)
         sel_levels.append(jnp.full((k,), li, jnp.int32))
     scores = jnp.concatenate(sel_scores)
-    boxes = clip_boxes(jnp.concatenate(sel_boxes), image_size, image_size)
+    if content_wh is None:
+        boxes = clip_boxes(jnp.concatenate(sel_boxes), image_size, image_size)
+    else:
+        boxes = clip_boxes(jnp.concatenate(sel_boxes), content_wh[1],
+                           content_wh[0])
     levels = jnp.concatenate(sel_levels)
-    valid = small_box_mask(boxes, min_size)
+    valid = small_box_mask(boxes, min_size) & (scores > -jnp.inf)
     idx, ok = batched_nms_topk(boxes, jax.nn.sigmoid(scores), levels, nms_thresh,
                                post_nms_top_n, valid)
     return boxes[idx], ok

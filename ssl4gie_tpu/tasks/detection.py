@@ -307,11 +307,12 @@ def make_detection_train_step(model, tx, accum_steps: int = 1, batch_stats=None,
 
 def make_detection_eval_step(model, batch_stats=None):
     @jax.jit
-    def eval_step(params, images):
+    def eval_step(params, images, content_sizes=None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        return model.apply(variables, images, train=False)
+        return model.apply(variables, images, train=False,
+                           content_sizes=content_sizes)
     return eval_step
 
 
@@ -332,7 +333,14 @@ def evaluate_map(model, params, source, batch_size: int = 2,
                    for i in range(batch_size)]
         imgs = jnp.asarray(np.stack([s["image"] for s in samples])
                            ).astype(jnp.float32) / 255.0
-        det = eval_step(params, imgs)
+        # RN50/torchvision prep carries per-image pre-pad extents: pass them
+        # so the model reproduces torchvision's batch-max padding semantics
+        # in-model (anchor masking + pre-NMS clipping); the host-side
+        # clip_to_content below is then an idempotent no-op kept as a guard.
+        cs = None
+        if all("content_size" in s for s in samples):
+            cs = jnp.asarray(np.stack([s["content_size"] for s in samples]))
+        det = eval_step(params, imgs, cs)
         det = {k: np.asarray(v) for k, v in det.items()}
         preds, targets = [], []
         for bi, s in enumerate(samples[:real]):

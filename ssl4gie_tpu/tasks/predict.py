@@ -126,7 +126,12 @@ def predict_detection(cfg, model, params, batch_stats, test_source, out_dir,
     for i in idx:
         s = test_source.get(i)
         img = jnp.asarray(s["image"][None]).astype(jnp.float32) / 255.0
-        det = {k: np.asarray(v)[0] for k, v in eval_step(params, img).items()}
+        # per-image content extent -> in-model torchvision batch-max semantics
+        # (a predict "batch" is one image, so batch-max == its own extent)
+        cs = (jnp.asarray(s["content_size"][None])
+              if "content_size" in s else None)
+        det = {k: np.asarray(v)[0]
+               for k, v in eval_step(params, img, cs).items()}
         keep = det["valid"] & (det["scores"] > score_thresh)
         gt = s["gt_boxes"][s["gt_valid"]]
         pred = det["boxes"][keep]
