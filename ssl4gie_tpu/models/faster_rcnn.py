@@ -69,20 +69,39 @@ class FasterRCNN(nn.Module):
         content_sizes: optional (B, 2) int (w, h) per-image pre-pad extents,
         top-left placed (the RN50/`resize="torchvision"` prep). When given
         (eval only), the static canvas reproduces torchvision's dynamic
-        batch-max padding EXACTLY: (a) anchors outside the batch-max /32
-        extent are masked out of RPN top-k (they do not exist on
-        torchvision's per-batch canvas), (b) proposals and detections are
-        clipped per image to (w_i, h_i) like `filter_proposals` /
-        `RoIHeads.postprocess_detections`. Backbone activations inside the
-        batch extent are unaffected by the extra zero padding (zero content
-        beyond the extent == torchvision's zero pad; BN is frozen), so with
-        these two fixes the eval outputs match a dynamic-padding run.
+        batch-max padding to float-reassociation noise: (a) anchors outside
+        the batch-max /32 extent are masked out of RPN top-k (they do not
+        exist on torchvision's per-batch canvas; set-equality tested),
+        (b) proposals and detections are clipped per image to (w_i, h_i)
+        BEFORE their NMS passes like `filter_proposals` /
+        `RoIHeads.postprocess_detections`, (c) the RN50 backbone is
+        extent-masked before every spatial-kernel op so border halos match
+        a tight-canvas run (`resnet.extent_mask` — also zeroes the
+        -mean/std normalize-pad pixels, matching torchvision's
+        post-normalize zero pad), (d) RoIAlign border rules apply at the
+        batch-max extent where torchvision's maps end
+        (`multiscale_roi_align(extent_hw)`). Cross-canvas eval equality is
+        asserted by `tests/test_detection.py::test_eval_cross_canvas_bitwise`.
         Train mode ignores it: `detection_augment` rot90/flips move the
         content region around the canvas, and the ablation
         (`benchmarks/canvas_ablation.py`) measured train-time padding
         effects below seed noise."""
         x = (images - IMAGENET_MEAN) / IMAGENET_STD
         x = x.astype(self.dtype)
+
+        # batch-max content extent, /32-rounded like torchvision
+        # ImageList.batch_images(size_divisible=32)
+        mask_hw = None
+        if content_sizes is not None and not train:
+            wm = ((jnp.max(content_sizes[:, 0]) + 31) // 32) * 32
+            hm = ((jnp.max(content_sizes[:, 1]) + 31) // 32) * 32
+            if self.arch != "vit_b":
+                # extent-mask the backbone so border halos match a
+                # tight-canvas run (the mask also zeroes the -mean/std
+                # normalize-pad pixels, matching torchvision's post-normalize
+                # zero pad); the ViT backbone is used with fixed_size
+                # semantics (content == canvas) so it never takes a mask
+                mask_hw = (hm, wm)
 
         if self.arch == "vit_b":
             fmap = ViTBackbone(img_size=self.image_size, mode="det",
@@ -94,7 +113,8 @@ class FasterRCNN(nn.Module):
             # BatchNorm stays frozen even in training — torchvision's
             # fasterrcnn_resnet50_fpn uses FrozenBatchNorm2d, and the reference's
             # SyncBN conversion does not touch it (train_detection.py:272)
-            feats = ResNetFPN(dtype=self.dtype, name="backbone")(x, train=False)
+            feats = ResNetFPN(dtype=self.dtype, name="backbone")(
+                x, train=False, mask_hw=mask_hw)
         feats = [f.astype(jnp.float32) for f in feats]
 
         objectness, deltas = RPNHead(dtype=self.dtype, name="rpn_head")(feats)
@@ -112,10 +132,6 @@ class FasterRCNN(nn.Module):
         anchor_valid = None
         if content_sizes is not None and not train:
             grid = jnp.asarray(anchor_grid_info(shapes, STRIDES))  # (N, 3)
-            # torchvision ImageList.batch_images pads to the batch max rounded
-            # up to size_divisible=32
-            wm = ((jnp.max(content_sizes[:, 0]) + 31) // 32) * 32
-            hm = ((jnp.max(content_sizes[:, 1]) + 31) // 32) * 32
             gx, gy, st = grid[:, 0], grid[:, 1], grid[:, 2]
             anchor_valid = (gx < (wm + st - 1) // st) & \
                            (gy < (hm + st - 1) // st)
@@ -167,8 +183,14 @@ class FasterRCNN(nn.Module):
                     "loss_classifier": cls_loss,
                     "loss_box_reg": reg_loss}
 
+        roi_extent = None
+        if mask_hw is not None:
+            roi_extent = jnp.stack(
+                [jnp.stack([mask_hw[0] // s, mask_hw[1] // s])
+                 for s in STRIDES[:4]]).astype(jnp.float32)
+        roi_fn = functools.partial(extract_roi_features, extent_hw=roi_extent)
         roi_feats = jax.vmap(
-            lambda f0, f1, f2, f3, b: extract_roi_features([f0, f1, f2, f3], b)
+            lambda f0, f1, f2, f3, b: roi_fn([f0, f1, f2, f3], b)
         )(feats[0], feats[1], feats[2], feats[3], proposals)
         B, R = roi_feats.shape[:2]
         scores, box_deltas = box_head(roi_feats.reshape(B * R, 7, 7, -1))

@@ -26,6 +26,24 @@ BN_EPS = 1e-5
 CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def extent_mask(x, hw):
+    """Zero activations beyond a (h, w) valid extent (dynamic values, static
+    shape — no recompiles). Applied BEFORE every spatial-kernel op (7x7/3x3
+    conv, 3x3 maxpool) it makes the op's halo see exactly the zeros that
+    torchvision's SAME padding provides at the edge of its smaller
+    (batch-max) canvas, so in-extent activations match a tight-canvas run
+    bit-for-bit. Pointwise ops (1x1 conv, BN, ReLU, residual add) have no
+    halo and need no mask. Used by the detection batch-max emulation
+    (`models/faster_rcnn.py` content_sizes)."""
+    if hw is None:
+        return x
+    h, w = hw
+    H, W = x.shape[1], x.shape[2]
+    my = jnp.arange(H) < h
+    mx = jnp.arange(W) < w
+    return x * (my[:, None] & mx[None, :])[None, :, :, None].astype(x.dtype)
+
+
 class Bottleneck(nn.Module):
     width: int            # bottleneck width; out channels = 4*width
     strides: int = 1
@@ -34,7 +52,7 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask_hw=None):
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                        dtype=self.dtype, name=name)
@@ -42,6 +60,7 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
                     kernel_init=CONV_INIT, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
+        y = extent_mask(y, mask_hw)     # conv2 is the block's only spatial op
         y = nn.Conv(self.width, (3, 3), strides=(self.strides, self.strides),
                     padding=self.dilation, kernel_dilation=(self.dilation,) * 2,
                     use_bias=False, dtype=self.dtype, kernel_init=CONV_INIT,
@@ -68,13 +87,26 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask_hw=None):
+        """mask_hw: optional (h, w) valid-content extent at input resolution
+        (a /32 multiple) — zeroes the padded region before every spatial op
+        so in-extent activations equal a tight-canvas run (see extent_mask;
+        detection batch-max emulation). None = normal behavior."""
+        def half(hw):
+            return None if hw is None else (hw[0] // 2, hw[1] // 2)
+
+        x = extent_mask(x, mask_hw)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, kernel_init=CONV_INIT, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
+        hw = half(mask_hw)              # stride 2 after the stem conv
+        x = extent_mask(x, hw)
+        # tight-canvas SAME maxpool pads with -inf where we mask 0; post-ReLU
+        # inputs are >= 0, so any window with an in-extent pixel agrees
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        hw = half(hw)                   # stride 4
 
         taps = []
         widths = (64, 128, 256, 512)
@@ -84,7 +116,10 @@ class ResNet50(nn.Module):
                 strides = 2 if (stage > 0 and b == 0 and not dilate) else 1
                 x = Bottleneck(w, strides=strides, downsample=(b == 0),
                                dilation=2 if dilate else 1,
-                               dtype=self.dtype, name=f"layer{stage+1}_{b}")(x, train)
+                               dtype=self.dtype, name=f"layer{stage+1}_{b}"
+                               )(x, train, mask_hw=hw)
+                if strides == 2:
+                    hw = half(hw)
             taps.append(x)
 
         if self.mode == "dense":

@@ -129,8 +129,10 @@ def postprocess_detections(scores, deltas, proposals, prop_valid,
 
 
 def extract_roi_features(feature_maps: List[jnp.ndarray], boxes,
-                         strides=(4, 8, 16, 32)):
+                         strides=(4, 8, 16, 32), extent_hw=None):
     """Single image: FPN levels 0..3 feed RoIAlign (pool level excluded, like
-    torchvision's featmap_names=['0','1','2','3'])."""
+    torchvision's featmap_names=['0','1','2','3']). extent_hw: optional (4, 2)
+    per-level valid extents for batch-max emulation."""
     return multiscale_roi_align(feature_maps[:4], boxes,
-                                [1.0 / s for s in strides])
+                                [1.0 / s for s in strides],
+                                extent_hw=extent_hw)

@@ -113,11 +113,25 @@ class ResNetFPN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
-        taps = ResNet50(mode="dense", dtype=self.dtype, name="body")(x, train)
+    def __call__(self, x, train: bool = False,
+                 mask_hw=None) -> List[jnp.ndarray]:
+        """mask_hw: optional (h, w) /32-multiple content extent at input
+        resolution — batch-max emulation (see resnet.extent_mask). The
+        returned levels are then masked to their per-level extents, so the
+        RPN head's 3x3 conv and RoIAlign's border bilinear taps read the
+        zeros torchvision's smaller canvas would give (lateral/output conv
+        BIASES otherwise repopulate the padded region)."""
+        from ssl4gie_tpu.models.resnet import extent_mask
+
+        taps = ResNet50(mode="dense", dtype=self.dtype, name="body"
+                        )(x, train, mask_hw=mask_hw)
+        lvl_hw = (None,) * 4 if mask_hw is None else tuple(
+            (mask_hw[0] // s, mask_hw[1] // s) for s in (4, 8, 16, 32))
         laterals = [nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                             name=f"lateral{i}")(t) for i, t in enumerate(taps)]
-        # top-down: start at stride 32
+        # top-down: start at stride 32 (nearest-2x upsample and add are
+        # pointwise in the extent sense: coarse padded cells only land on
+        # fine padded cells because extents are exact /2 multiples)
         outs = [None] * 4
         prev = laterals[3]
         outs[3] = prev
@@ -126,6 +140,9 @@ class ResNetFPN(nn.Module):
             prev = laterals[i] + up
             outs[i] = prev
         outs = [nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"output{i}")(o) for i, o in enumerate(outs)]
+                        name=f"output{i}")(extent_mask(o, lvl_hw[i]))
+                for i, o in enumerate(outs)]
+        if mask_hw is not None:
+            outs = [extent_mask(o, hw) for o, hw in zip(outs, lvl_hw)]
         pool = nn.max_pool(outs[3], (1, 1), strides=(2, 2))
         return outs + [pool]

@@ -94,12 +94,18 @@ def fpn_level_assignment(rois, k_min: int = 2, k_max: int = 5,
 
 def multiscale_roi_align(features: Sequence[jnp.ndarray], rois,
                          spatial_scales: Sequence[float], output_size: int = 7,
-                         sampling_ratio: int = 2):
+                         sampling_ratio: int = 2, extent_hw=None):
     """features: list of (H_l, W_l, C) maps (one image, strides 4..32);
     rois: (R, 4) in image coords. Single-pass design: all levels are flattened into
     one (sum HW, C) table and each roi gathers from its assigned level via a
     per-roi (scale, H, W, base-offset) lookup — no per-level scatter, no L-fold
-    recompute, static shapes throughout."""
+    recompute, static shapes throughout.
+
+    extent_hw: optional (L, 2) per-level (h, w) valid extents (dynamic) — the
+    batch-max emulation (`models/faster_rcnn.py` content_sizes): torchvision's
+    feature maps END at the batch-max extent, so its border clamp/outside
+    rules apply at the extent, not at this static canvas's map edge. The
+    gather row stride stays the real map width."""
     L = len(features)
     C = features[0].shape[-1]
     levels = fpn_level_assignment(rois, k_min=2, k_max=2 + L - 1)   # (R,) in [0, L)
@@ -112,8 +118,14 @@ def multiscale_roi_align(features: Sequence[jnp.ndarray], rois,
     table = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)
 
     scale_r = scales[levels]                 # (R,)
-    H_r = hs[levels]
-    W_r = ws[levels]
+    if extent_hw is None:
+        H_r = hs[levels]
+        W_r = ws[levels]
+    else:
+        ext = jnp.asarray(extent_hw, jnp.float32)
+        H_r = ext[:, 0][levels]
+        W_r = ext[:, 1][levels]
+    W_row = ws[levels]                       # physical row stride for gathers
     base_r = bases[levels]
 
     x1 = rois[:, 0] * scale_r
@@ -145,7 +157,7 @@ def multiscale_roi_align(features: Sequence[jnp.ndarray], rois,
     wx = x - x0
 
     def tap(yc, xc):
-        lin = base_r[:, None, None] + (yc * W_r[:, None, None] + xc).astype(jnp.int32)
+        lin = base_r[:, None, None] + (yc * W_row[:, None, None] + xc).astype(jnp.int32)
         g = jnp.take(table, lin.reshape(R, P * P), axis=0)   # (R, P*P, C)
         return g.reshape(R, P, P, C)
 
