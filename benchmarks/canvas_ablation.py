@@ -226,8 +226,8 @@ if __name__ == "__main__":
     print("same params, over-padded canvas WITH batch-max emulation "
           "(content_sizes):", flush=True)
     masked = eval_map(make_model(192), params, bstats, 192, with_cs=True)
-    print(f"  residual delta (border halos only): "
-          f"map {masked['map'] - tight['map']:+.4f}, "
+    print(f"  residual delta (full batch-max emulation; measured +0.0000 at "
+          f"150 steps): map {masked['map'] - tight['map']:+.4f}, "
           f"map_50 {masked['map_50'] - tight['map_50']:+.4f}", flush=True)
 
     print("train+eval on static over-padded canvas (+50% linear):", flush=True)
