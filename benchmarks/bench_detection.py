@@ -24,7 +24,7 @@ from ssl4gie_tpu.core.xla_options import jit_kwargs
 
 
 def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
-          n: int = 10, eval_only: bool = False):
+          n: int = 10, eval_only: bool = False, masked_eval: bool = False):
     S = 1024 if arch == "vit_b" else 1344
     model = FasterRCNN(arch=arch, num_classes=2, image_size=S,
                        pos_embed_type="learned", dtype=jnp.bfloat16)
@@ -64,9 +64,14 @@ def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
 
     if do_eval:
         # per-epoch eval cost: the trainer runs val AND test mAP every epoch
-        # at eval batch 2 (`tasks/detection.py`); time the eval forward
+        # at eval batch 2 (`tasks/detection.py`); time the eval forward.
+        # --masked passes content_sizes (a typical torchvision-resized extent)
+        # to price the batch-max emulation (anchor mask + extent-masked
+        # backbone + extent-aware RoIAlign + per-image clip).
         eB = 2
         ebatch = jnp.asarray(rng_np.random((eB, S, S, 3), np.float32))
+        ecs = (jnp.asarray([[1067, 800]] * eB, jnp.int32)
+               if masked_eval else None)
 
         @functools.partial(jax.jit, **jit_kwargs("detection"))
         def erun(params, x):
@@ -80,7 +85,7 @@ def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
                 det = model.apply(
                     {"params": params,
                      "batch_stats": variables.get("batch_stats", {})},
-                    xi, train=False)
+                    xi, train=False, content_sizes=ecs)
                 s = det["scores"][:, 0]
                 return jnp.sum(s) * 1e-20, s
             return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
@@ -93,7 +98,8 @@ def bench(arch: str, B: int, accum: int = 1, do_eval: bool = False,
             _, s0 = erun(state[0], ebatch)
             float(s0[-1, 0])
             edt = min(edt, (time.perf_counter() - t0) / n * 1000)
-        print(f"{arch} {S}px eval step:  {edt:.1f} ms/step @ B={eB} "
+        tag = " (masked batch-max emulation)" if masked_eval else ""
+        print(f"{arch} {S}px eval step{tag}:  {edt:.1f} ms/step @ B={eB} "
               f"({eB / edt * 1000:.1f} img/s)", flush=True)
     return dt
 
@@ -109,8 +115,9 @@ if __name__ == "__main__":
         del args[i:i + 2]
     do_eval = "--eval" in args
     eval_only = "--eval-only" in args
-    args = [a for a in args if a not in ("--eval", "--eval-only")]
+    masked = "--masked" in args
+    args = [a for a in args if a not in ("--eval", "--eval-only", "--masked")]
     bs = [int(a) for a in args] or [2, 4, 8]
     for B in bs:
         bench(arch, B, accum, (do_eval or eval_only) and B == bs[-1],
-              eval_only=eval_only)
+              eval_only=eval_only, masked_eval=masked)
